@@ -1,0 +1,167 @@
+import jax.numpy as jnp
+import numpy as np
+
+from viewcrafter_tpu.align.focal import estimate_focal
+from viewcrafter_tpu.align.global_align import GlobalAligner, SceneGraph
+from viewcrafter_tpu.align.pnp import fast_pnp
+from viewcrafter_tpu.align.registration import rigid_points_registration
+from viewcrafter_tpu.align.rotations import (
+    mat_to_pose_vec,
+    pose_vec_to_mat,
+    quat_to_rot,
+    rot_to_quat,
+)
+from viewcrafter_tpu.config import AlignConfig
+
+H, W = 8, 12
+FOCAL = 14.0
+
+
+def rot_about(axis, deg):
+    axis = np.asarray(axis, np.float64)
+    axis /= np.linalg.norm(axis)
+    a = np.deg2rad(deg)
+    K = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    return np.eye(3) + np.sin(a) * K + (1 - np.cos(a)) * (K @ K)
+
+
+def test_quat_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        R = rot_about(rng.normal(size=3), rng.uniform(-170, 170))
+        q = rot_to_quat(R)
+        np.testing.assert_allclose(np.asarray(quat_to_rot(jnp.asarray(q))), R, atol=1e-6)
+
+
+def test_pose_vec_roundtrip():
+    R = rot_about([0.3, 1.0, -0.2], 40)
+    m = np.eye(4)
+    m[:3, :3] = R
+    m[:3, 3] = [0.5, -2.0, 3.0]
+    vec = mat_to_pose_vec(m)
+    np.testing.assert_allclose(np.asarray(pose_vec_to_mat(jnp.asarray(vec))), m, atol=1e-5)
+
+
+def test_umeyama_recovers_similarity():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(100, 3))
+    R = rot_about([1, 2, 3], 25)
+    s, t = 1.7, np.array([0.3, -1.0, 2.0])
+    y = s * x @ R.T + t
+    w = rng.uniform(0.5, 2.0, size=100)
+    s2, R2, t2 = rigid_points_registration(x, y, w)
+    np.testing.assert_allclose(s2, s, rtol=1e-6)
+    np.testing.assert_allclose(R2, R, atol=1e-6)
+    np.testing.assert_allclose(t2, t, atol=1e-6)
+
+
+def _camera_grid_pts(depth_fn):
+    """Camera-frame pointmap for a pinhole camera with our test intrinsics."""
+    uu, vv = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    z = depth_fn(uu, vv)
+    x = z * (uu - W / 2) / FOCAL
+    y = z * (vv - H / 2) / FOCAL
+    return np.stack([x, y, z], -1)
+
+
+def test_focal_estimation():
+    pts = _camera_grid_pts(lambda u, v: 2.0 + 0.1 * u + 0.05 * v)
+    f = estimate_focal(pts)
+    np.testing.assert_allclose(f, FOCAL, rtol=1e-3)
+
+
+def test_pnp_recovers_pose():
+    rng = np.random.default_rng(2)
+    R = rot_about([0.1, 1, 0.2], 15)
+    t = np.array([0.2, -0.1, 0.5])
+    pts_cam = _camera_grid_pts(lambda u, v: 2.0 + 0.1 * u)
+    # world points: X_w = R_c2w X_c + t_c2w with c2w = inv([R|t])
+    c2w_R, c2w_t = R.T, -R.T @ t
+    pts_world = pts_cam.reshape(-1, 3) @ c2w_R.T + c2w_t
+    res = fast_pnp(
+        pts_world.reshape(H, W, 3).astype(np.float32), FOCAL, np.ones((H, W), bool)
+    )
+    assert res is not None
+    f, c2w = res
+    np.testing.assert_allclose(c2w[:3, :3], c2w_R, atol=1e-3)
+    np.testing.assert_allclose(c2w[:3, 3], c2w_t, atol=1e-3)
+
+
+def _synthetic_graph(n=3, noise=0.0, seed=3):
+    """Perfectly consistent pairwise predictions from a known scene."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    for k in range(n):
+        R = rot_about([0, 1, 0], 8.0 * k)
+        m = np.eye(4)
+        m[:3, :3] = R
+        m[:3, 3] = [0.3 * k, 0.05 * k, -0.1 * k]
+        poses.append(m)
+    pts_cam = [
+        _camera_grid_pts(lambda u, v, k=k: 2.0 + 0.05 * u + 0.02 * v + 0.1 * k)
+        for k in range(n)
+    ]
+    pts_world = [
+        pts_cam[k].reshape(-1, 3) @ poses[k][:3, :3].T + poses[k][:3, 3] for k in range(n)
+    ]
+    edges, pred_i, pred_j, conf_i, conf_j = [], [], [], [], []
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            edges.append((i, j))
+            w2c_i = np.linalg.inv(poses[i])
+            pi = pts_cam[i]
+            pj = (pts_world[j] @ w2c_i[:3, :3].T + w2c_i[:3, 3]).reshape(H, W, 3)
+            pred_i.append(pi + noise * rng.normal(size=pi.shape))
+            pred_j.append(pj + noise * rng.normal(size=pj.shape))
+            conf_i.append(np.full((H, W), 10.0))
+            conf_j.append(np.full((H, W), 8.0))
+    return SceneGraph(
+        edges=np.array(edges),
+        pred_i=np.stack(pred_i).astype(np.float32),
+        pred_j=np.stack(pred_j).astype(np.float32),
+        conf_i=np.stack(conf_i).astype(np.float32),
+        conf_j=np.stack(conf_j).astype(np.float32),
+        imgs=np.zeros((n, H, W, 3), np.float32),
+    ), poses
+
+
+def test_mst_init_consistent_scene_low_loss():
+    graph, gt_poses = _synthetic_graph()
+    aligner = GlobalAligner(graph, AlignConfig(niter=30))
+    params = aligner.init_mst()
+    # perfectly consistent predictions -> near-zero loss straight from init
+    loss0 = float(aligner.loss_fn(params))
+    assert loss0 < 1e-2, loss0
+    # relative pose 0->1 must match ground truth (global sim3 is gauge-free)
+    est = np.asarray(pose_vec_to_mat(params["im_poses"]))
+    rel_est = np.linalg.inv(est[0]) @ est[1]
+    rel_gt = np.linalg.inv(gt_poses[0]) @ gt_poses[1]
+    np.testing.assert_allclose(rel_est[:3, :3], rel_gt[:3, :3], atol=5e-3)
+
+
+def test_optimize_reduces_noisy_loss():
+    graph, _ = _synthetic_graph(noise=0.01)
+    aligner = GlobalAligner(graph, AlignConfig(niter=30))
+    params = aligner.init_mst()
+    params2, losses = aligner.optimize(params)
+    losses = np.asarray(losses)
+    assert losses[-1] < losses[0]
+    scene = aligner.get_scene(params2)
+    assert scene.poses.shape == (3, 4, 4)
+    assert scene.depths.shape == (3, H, W)
+    assert np.isfinite(scene.pts3d).all()
+
+
+def test_clean_pointcloud_keeps_consistent_points():
+    graph, _ = _synthetic_graph()
+    aligner = GlobalAligner(graph, AlignConfig(niter=10))
+    params = aligner.init_mst()
+    scene = aligner.get_scene(params)
+    cleaned = aligner.clean_pointcloud(scene)
+    # a perfectly consistent scene should lose (almost) nothing
+    frac_changed = (cleaned.im_conf < scene.im_conf).mean()
+    assert frac_changed < 0.05, frac_changed

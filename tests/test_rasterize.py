@@ -1,0 +1,103 @@
+import jax.numpy as jnp
+import numpy as np
+
+from viewcrafter_tpu.ops.rasterize import rasterize_points, render_trajectory
+
+H, W = 16, 24
+K_INTR = jnp.asarray([[20.0, 0, 12.0], [0, 20.0, 8.0], [0, 0, 1.0]])
+EYE = jnp.eye(4)
+
+
+def numpy_reference(points, colors, w2c, K, h, w, radius_ndc=0.01, ppp=10):
+    """Brute-force per-pixel oracle with PyTorch3D semantics."""
+    points = np.asarray(points)
+    colors = np.asarray(colors)
+    Km = np.asarray(K)
+    cam = (np.asarray(w2c)[:3, :3] @ points.T).T + np.asarray(w2c)[:3, 3]
+    r_px = radius_ndc * min(h, w) / 2
+    out = np.zeros((h, w, colors.shape[1]))
+    for py in range(h):
+        for px in range(w):
+            cands = []
+            for i in range(len(points)):
+                z = cam[i, 2]
+                if z <= 1e-4:
+                    continue
+                u = Km[0, 0] * cam[i, 0] / z + Km[0, 2]
+                v = Km[1, 1] * cam[i, 1] / z + Km[1, 2]
+                d2 = (u - (px + 0.5)) ** 2 + (v - (py + 0.5)) ** 2
+                if d2 < r_px * r_px:
+                    cands.append((z, 1 - d2 / (r_px * r_px), colors[i]))
+            cands.sort(key=lambda t: t[0])
+            t_acc = 1.0
+            acc = np.zeros(colors.shape[1])
+            for z, wgt, col in cands[:ppp]:
+                acc += wgt * t_acc * col
+                t_acc *= 1 - wgt
+            out[py, px] = acc
+    return out
+
+
+def test_single_point_center_splat():
+    # point projecting exactly onto pixel center (12, 8) -> weight 1 there
+    pt = jnp.asarray([[(12.5 - 12.0) / 20.0 * 2.0, (8.5 - 8.0) / 20.0 * 2.0, 2.0]])
+    col = jnp.asarray([[1.0, 0.5, 0.25]])
+    img = rasterize_points(pt, col, EYE, K_INTR, H, W, radius_ndc=0.1)
+    np.testing.assert_allclose(np.asarray(img[8, 12]), [1.0, 0.5, 0.25], atol=1e-5)
+    # hole elsewhere far away
+    np.testing.assert_allclose(np.asarray(img[0, 0]), 0.0, atol=1e-7)
+
+
+def test_occlusion_front_point_wins():
+    # two points on the same ray; the near one lands exactly on the pixel
+    # center (weight 1), fully occluding the far one
+    pts = jnp.asarray([[0.0125, 0.0125, 0.5], [0.05, 0.05, 2.0]])
+    cols = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    img = rasterize_points(pts, cols, EYE, K_INTR, H, W, radius_ndc=0.1)
+    np.testing.assert_allclose(np.asarray(img[8, 12]), [1.0, 0.0, 0.0], atol=1e-5)
+
+
+def test_behind_camera_culled():
+    pts = jnp.asarray([[0.0, 0.0, -1.0]])
+    cols = jnp.asarray([[1.0, 1.0, 1.0]])
+    img = rasterize_points(pts, cols, EYE, K_INTR, H, W, radius_ndc=0.5)
+    np.testing.assert_allclose(np.asarray(img), 0.0, atol=1e-7)
+
+
+def test_matches_numpy_oracle_random_cloud():
+    rng = np.random.default_rng(0)
+    n = 300
+    pts = rng.normal(size=(n, 3)) * np.array([0.4, 0.3, 0.2]) + np.array([0, 0, 2.0])
+    cols = rng.uniform(size=(n, 3))
+    img = rasterize_points(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(cols, jnp.float32),
+        EYE, K_INTR, H, W, radius_ndc=0.05,
+    )
+    expect = numpy_reference(pts, cols, np.eye(4), K_INTR, H, W, radius_ndc=0.05)
+    np.testing.assert_allclose(np.asarray(img), expect, atol=2e-4)
+
+
+def test_k_budget_truncates_to_nearest():
+    # 15 coincident points; only the nearest 10 may contribute
+    zs = np.linspace(1.0, 2.0, 15)
+    pts = np.stack([np.full(15, 0.0125), np.full(15, 0.0125) * (zs / 0.5), zs], -1)
+    # place all on the center pixel ray: x/z = const requires scaling
+    pts = np.stack([0.025 * zs, 0.025 * zs, zs], -1)
+    cols = np.ones((15, 1))
+    img = rasterize_points(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(cols, jnp.float32),
+        EYE, K_INTR, H, W, radius_ndc=0.05, points_per_pixel=10,
+    )
+    expect = numpy_reference(pts, cols, np.eye(4), K_INTR, H, W, radius_ndc=0.05, ppp=10)
+    np.testing.assert_allclose(np.asarray(img), expect, atol=2e-4)
+
+
+def test_render_trajectory_batches_views():
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.normal(size=(100, 3)) * 0.3 + np.array([0, 0, 2.0]), jnp.float32)
+    cols = jnp.asarray(rng.uniform(size=(100, 3)), jnp.float32)
+    w2cs = jnp.stack([EYE, EYE.at[0, 3].set(0.1)])
+    imgs = render_trajectory(pts, cols, w2cs, K_INTR, H, W, radius_ndc=0.05)
+    assert imgs.shape == (2, H, W, 3)
+    single = rasterize_points(pts, cols, w2cs[1], K_INTR, H, W, radius_ndc=0.05)
+    np.testing.assert_allclose(np.asarray(imgs[1]), np.asarray(single), atol=1e-6)

@@ -1,0 +1,212 @@
+"""The latent video diffusion engine: guidance frames -> generated video.
+
+This is the TPU-native equivalent of the reference's
+`image_guided_synthesis` + `VIPLatentDiffusion` inference path
+(utils/diffusion_utils.py:117-201, lvdm/models/ddpm3d.py:1250-1418):
+
+  1. CLIP-encode the condition frame (all 257 visual tokens) and project
+     through the Perceiver resampler -> 256 image context tokens;
+  2. CLIP-text-encode the prompt (and the empty prompt for the uncond branch);
+  3. VAE-encode all guidance frames per-frame -> z_cond, the `c_concat`
+     channel-concat conditioning (the rendered point-cloud video);
+  4. run the DDIM loop with batched CFG branches;
+  5. VAE-decode the sampled latents per-frame.
+
+Everything from (1)-(5) is ONE jitted program: frames never leave the device
+between render, encode, sample and decode (the reference bounces to host
+between stages). Per-frame VAE work uses `lax.scan` over the time axis so the
+peak HBM footprint stays at one frame of encoder/decoder activations
+(equivalent of `perframe_ae`, ddpm3d.py:633-639).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from viewcrafter_tpu.config import ModelConfig
+from viewcrafter_tpu.models.clip import CLIPTextEncoder, CLIPVisionEncoder, clip_preprocess
+from viewcrafter_tpu.models.resampler import Resampler
+from viewcrafter_tpu.models.unet3d import UNet3D
+from viewcrafter_tpu.models.vae import AutoencoderKL
+from viewcrafter_tpu.ops.schedule import DDIMSchedule, DiffusionSchedule
+from viewcrafter_tpu.sampling.ddim import GuidanceConfig, ddim_sample
+from viewcrafter_tpu.utils.tokenizer import tokenize
+
+
+@dataclasses.dataclass
+class LVDMParams:
+    """Parameter pytrees of the five submodels."""
+
+    unet: Any
+    vae: Any
+    clip_text: Any
+    clip_vision: Any
+    resampler: Any
+
+
+class VideoDiffusionEngine:
+    """Owns the submodules + schedules; exposes jitted inference programs."""
+
+    def __init__(self, cfg: ModelConfig, dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.unet = UNet3D(cfg=cfg.unet, dtype=dtype)
+        self.vae = AutoencoderKL(
+            ch=cfg.vae.ch, ch_mult=cfg.vae.ch_mult, num_res_blocks=cfg.vae.num_res_blocks,
+            embed_dim=cfg.vae.embed_dim, z_channels=cfg.vae.z_channels, dtype=dtype,
+        )
+        self.clip_text = CLIPTextEncoder(cfg=cfg.clip_text, dtype=dtype)
+        self.clip_vision = CLIPVisionEncoder(cfg=cfg.clip_vision, dtype=dtype)
+        self.resampler = Resampler(cfg=cfg.resampler, dtype=dtype)
+        d = cfg.diffusion
+        self.schedule = DiffusionSchedule.create(
+            timesteps=d.timesteps, beta_schedule=d.beta_schedule,
+            linear_start=d.linear_start, linear_end=d.linear_end,
+            rescale_betas_zero_snr=d.rescale_betas_zero_snr,
+            use_dynamic_rescale=d.use_dynamic_rescale, base_scale=d.base_scale,
+            turning_step=d.turning_step,
+        )
+        self.scale_factor = d.scale_factor
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def init_params(self, rng: jax.Array) -> LVDMParams:
+        """Random init (real checkpoints come from utils/checkpoint.py)."""
+        cfg = self.cfg
+        t = cfg.video_length
+        h, w = cfg.diffusion.latent_size
+        keys = jax.random.split(rng, 5)
+        n_img_tokens = cfg.resampler.num_queries * (cfg.resampler.video_length or 1)
+        ctx_len = cfg.clip_text.context_length + n_img_tokens
+        unet = self.unet.init(
+            keys[0],
+            jnp.zeros((1, t, h, w, cfg.unet.in_channels)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, ctx_len, cfg.unet.context_dim)),
+        )
+        vae = self.vae.init(keys[1], jnp.zeros((1, 64, 64, 3)))
+        clip_text = self.clip_text.init(keys[2], jnp.zeros((1, 77), jnp.int32))
+        clip_vision = self.clip_vision.init(keys[3], jnp.zeros((1, 224, 224, 3)))
+        resampler = self.resampler.init(
+            keys[4], jnp.zeros((1, 257, cfg.resampler.embedding_dim))
+        )
+        return LVDMParams(unet, vae, clip_text, clip_vision, resampler)
+
+    # ------------------------------------------------------------------
+    # jitted building blocks
+    # ------------------------------------------------------------------
+
+    def encode_frames(self, vae_params, frames, rng=None):
+        """Per-frame VAE encode under lax.scan: (B,T,H,W,3) -> (B,T,h,w,4)*sf."""
+
+        def body(carry, frame):
+            # frame: (B, H, W, 3)
+            z = self.vae.apply(vae_params, frame, carry, method=AutoencoderKL.encode)
+            return carry, z
+
+        frames_t = jnp.swapaxes(frames, 0, 1)  # (T, B, H, W, 3)
+        _, z = jax.lax.scan(body, rng, frames_t)
+        return jnp.swapaxes(z, 0, 1) * self.scale_factor
+
+    def decode_latents(self, vae_params, z):
+        """Per-frame VAE decode under lax.scan: (B,T,h,w,4) -> (B,T,H,W,3)."""
+
+        def body(carry, z_frame):
+            x = self.vae.apply(vae_params, z_frame / self.scale_factor, method=AutoencoderKL.decode)
+            return carry, x
+
+        z_t = jnp.swapaxes(z, 0, 1)
+        _, x = jax.lax.scan(body, None, z_t)
+        return jnp.swapaxes(x, 0, 1)
+
+    def image_context(self, params: LVDMParams, image):
+        """Condition image (B,H,W,3 in [-1,1]) -> resampled tokens (B,256,1024)."""
+        tokens = self.clip_vision.apply(params.clip_vision, clip_preprocess(image))
+        return self.resampler.apply(params.resampler, tokens)
+
+    def text_context(self, params: LVDMParams, token_ids):
+        return self.clip_text.apply(params.clip_text, token_ids)
+
+    # ------------------------------------------------------------------
+    # generation
+    # ------------------------------------------------------------------
+
+    def build_contexts(self, params: LVDMParams, guidance_frames, cond_idx, token_ids, uncond_token_ids, guidance: GuidanceConfig):
+        """Stack per-branch cross-attention contexts along a leading K axis.
+
+        Branch order matches sampling/ddim.py: [uncond, (uncond_img), cond]
+        (reference: diffusion_utils.py:132-167)."""
+        cond_frame = guidance_frames[:, cond_idx]
+        img_ctx = self.image_context(params, cond_frame)
+        zero_img_ctx = self.image_context(params, jnp.zeros_like(cond_frame))
+        text_ctx = self.text_context(params, token_ids)
+        uncond_text_ctx = self.text_context(params, uncond_token_ids)
+        cond = jnp.concatenate([text_ctx, img_ctx], axis=1)
+        uncond = jnp.concatenate([uncond_text_ctx, zero_img_ctx], axis=1)
+        if guidance.num_branches == 1:
+            return cond[None]
+        if guidance.num_branches == 2:
+            return jnp.stack([uncond, cond])
+        uncond_img = jnp.concatenate([uncond_text_ctx, img_ctx], axis=1)
+        return jnp.stack([uncond, uncond_img, cond])
+
+    def generate(
+        self,
+        params: LVDMParams,
+        guidance_frames: jnp.ndarray,  # (B, T, H, W, 3) in [-1, 1]
+        token_ids: jnp.ndarray,  # (B, 77)
+        uncond_token_ids: jnp.ndarray,  # (B, 77)
+        rng: jax.Array,
+        steps: int = 50,
+        eta: float = 1.0,
+        guidance: GuidanceConfig = GuidanceConfig(),
+        fs: Optional[int] = None,
+        timestep_spacing: str = "uniform_trailing",
+        cond_idx: int = 0,
+    ) -> jnp.ndarray:
+        """Full pipeline; call through `jitted_generate` for the compiled path."""
+        cfg = self.cfg
+        b, t = guidance_frames.shape[:2]
+        k = guidance.num_branches
+        dd = DDIMSchedule.create(self.schedule, steps, eta=eta, timestep_spacing=timestep_spacing)
+
+        rng_z, rng_noise, rng_sample = jax.random.split(rng, 3)
+        z_cond = self.encode_frames(params.vae, guidance_frames, rng_z)  # (B,T,h,w,4)
+        contexts = self.build_contexts(
+            params, guidance_frames, cond_idx, token_ids, uncond_token_ids, guidance
+        )  # (K, B, L, C)
+        ctx_flat = contexts.reshape((k * b,) + contexts.shape[2:])
+        z_cond_k = jnp.tile(z_cond, (k, 1, 1, 1, 1))
+        fs_val = float(fs if fs is not None else cfg.unet.default_fs)
+        fs_batch = jnp.full((k * b,), fs_val, jnp.float32)
+
+        def denoise_fn(x_k, t_batch):
+            x_in = jnp.concatenate([x_k, z_cond_k], axis=-1)
+            return self.unet.apply(params.unet, x_in, t_batch, ctx_flat, fs=fs_batch)
+
+        h, w = z_cond.shape[2:4]
+        x_T = jax.random.normal(rng_noise, (b, t, h, w, cfg.vae.z_channels), jnp.float32)
+        z0 = ddim_sample(denoise_fn, x_T, dd, rng_sample, guidance)
+        video = self.decode_latents(params.vae, z0)
+        return jnp.clip(video, -1.0, 1.0)
+
+    @functools.cached_property
+    def jitted_generate(self):
+        return jax.jit(
+            self.generate,
+            static_argnames=("steps", "eta", "guidance", "fs", "timestep_spacing", "cond_idx"),
+        )
+
+    # host-side convenience -------------------------------------------------
+
+    def prompt_ids(self, prompts, batch_size: int) -> jnp.ndarray:
+        if isinstance(prompts, str):
+            prompts = [prompts] * batch_size
+        return jnp.asarray(tokenize(prompts))

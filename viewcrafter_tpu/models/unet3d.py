@@ -1,0 +1,364 @@
+"""3D U-Net video denoiser with factorized spatial/temporal attention.
+
+Architecture parity with the reference UNetModel
+(lvdm/modules/networks/openaimodel3d.py:311-603) and its attention library
+(lvdm/modules/attention.py):
+  - ResBlock + TemporalConvBlock (openaimodel3d.py:109-279)
+  - SpatialTransformer over (h w) tokens per frame (attention.py:249-310)
+  - TemporalTransformer over t tokens per pixel (attention.py:313-412)
+  - dual-stream image cross-attention: separate k/v for the image tokens past
+    text_context_len, out = out + out_ip (attention.py:42-144)
+  - extra init temporal transformer after conv_in (`addition_attention`,
+    openaimodel3d.py:389-399,584-585)
+  - fps conditioning via a second zero-init sinusoidal MLP (:375-382,569-577)
+  - per-frame image-context split when L == 77 + 16*t (:553-563)
+
+TPU-first design: channels-last tensors everywhere; frames ride the batch axis
+for spatial ops ((B*T, H, W, C)) and pixels ride it for temporal ops
+((B*H*W, T, C)); bf16 matmuls, fp32 GroupNorm/LayerNorm/softmax; flash
+attention for long spatial sequences. CFG cond/uncond pairs are batched along
+B by the sampler instead of two sequential UNet calls.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from viewcrafter_tpu.config import UNetConfig
+from viewcrafter_tpu.models.layers import (
+    Conv,
+    Dense,
+    FeedForward,
+    GroupNorm32,
+    LayerNormF32,
+    silu,
+)
+from viewcrafter_tpu.ops.attention import attention
+from viewcrafter_tpu.ops.schedule import timestep_embedding
+
+Dtype = Any
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention with optional dual-stream image cross-attention
+    (attention.py:42-144). Self-attention when context is None."""
+
+    heads: int
+    dim_head: int
+    query_dim: int
+    context_dim: Optional[int] = None
+    image_cross_attention: bool = False
+    text_context_len: int = 77
+    attn_impl: str = "auto"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context=None, mask=None):
+        h, d = self.heads, self.dim_head
+        inner = h * d
+        b, n, _ = x.shape
+        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+
+        is_self = context is None
+        ctx = x if is_self else context
+        ctx_img = None
+        if self.image_cross_attention and not is_self:
+            ctx, ctx_img = ctx[:, : self.text_context_len], ctx[:, self.text_context_len :]
+        elif not is_self:
+            ctx = ctx[:, : self.text_context_len]
+
+        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        qh = q.reshape(b, n, h, d)
+        out = attention(
+            qh, k.reshape(b, -1, h, d), v.reshape(b, -1, h, d), mask=mask, impl=self.attn_impl
+        ).reshape(b, n, inner)
+
+        if ctx_img is not None:
+            k_ip = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(ctx_img)
+            v_ip = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(ctx_img)
+            out_ip = attention(
+                qh, k_ip.reshape(b, -1, h, d), v_ip.reshape(b, -1, h, d), impl=self.attn_impl
+            ).reshape(b, n, inner)
+            out = out + out_ip  # image_cross_attention_scale = 1.0 in all shipped configs
+
+        return Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class TransformerBlock(nn.Module):
+    """norm->self-attn, norm->cross-attn, norm->GEGLU-FF, each residual
+    (attention.py:212-246)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    image_cross_attention: bool = False
+    self_attn_impl: str = "auto"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context=None, mask=None):
+        x = x + CrossAttention(
+            heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
+            attn_impl=self.self_attn_impl, dtype=self.dtype, name="attn1",
+        )(LayerNormF32(name="norm1")(x), mask=mask)
+        # temporal blocks are self-attention-only: attn2 gets no context and
+        # degrades to self-attention (attention.py:387-390)
+        x = x + CrossAttention(
+            heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
+            context_dim=self.context_dim,
+            image_cross_attention=self.image_cross_attention and context is not None,
+            attn_impl="xla" if context is not None else self.self_attn_impl,
+            dtype=self.dtype, name="attn2",
+        )(LayerNormF32(name="norm2")(x), context=context, mask=mask)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNormF32(name="norm3")(x))
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """Per-frame transformer over (h*w) tokens with linear projections
+    (attention.py:249-310, use_linear=True)."""
+
+    channels: int
+    heads: int
+    dim_head: int
+    depth: int = 1
+    context_dim: int = 1024
+    image_cross_attention: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context):
+        # x: (BT, H, W, C); context: (BT, L, context_dim)
+        bt, hh, ww, c = x.shape
+        inner = self.heads * self.dim_head
+        h = GroupNorm32(32, eps=1e-6, name="norm")(x).reshape(bt, hh * ww, c)
+        h = Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        for i in range(self.depth):
+            h = TransformerBlock(
+                dim=inner, heads=self.heads, dim_head=self.dim_head,
+                context_dim=self.context_dim,
+                image_cross_attention=self.image_cross_attention,
+                dtype=self.dtype, name=f"block_{i}",
+            )(h, context=context)
+        h = Dense(self.channels, dtype=self.dtype, zero_init=True, name="proj_out")(h)
+        return x + h.reshape(bt, hh, ww, c)
+
+
+class TemporalTransformer(nn.Module):
+    """Transformer over the t axis per pixel (attention.py:313-412,
+    use_linear=True, only_self_att=True)."""
+
+    channels: int
+    heads: int
+    dim_head: int
+    depth: int = 1
+    causal: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T, H, W, C)
+        b, t, hh, ww, c = x.shape
+        inner = self.heads * self.dim_head
+        h = GroupNorm32(32, eps=1e-6, name="norm")(x)
+        h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, t, c)
+        h = Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        mask = None
+        if self.causal:
+            mask = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
+        for i in range(self.depth):
+            h = TransformerBlock(
+                dim=inner, heads=self.heads, dim_head=self.dim_head,
+                self_attn_impl="xla", dtype=self.dtype, name=f"block_{i}",
+            )(h, mask=mask)
+        h = Dense(self.channels, dtype=self.dtype, zero_init=True, name="proj_out")(h)
+        h = h.reshape(b, hh, ww, t, c).transpose(0, 3, 1, 2, 4)
+        return x + h
+
+
+class TemporalConvBlock(nn.Module):
+    """4x (GroupNorm -> SiLU -> Conv3d(3,1,1)) residual stack, zero-init last
+    conv so it starts as identity (openaimodel3d.py:239-279)."""
+
+    channels: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T, H, W, C); kernel (3,1,1) convolves t only
+        h = x
+        for i in range(4):
+            h = GroupNorm32(32, name=f"norm_{i}")(h)
+            h = silu(h)
+            h = Conv(self.channels, (3, 1, 1), dtype=self.dtype, zero_init=(i == 3), name=f"conv_{i}")(h)
+        return x + h
+
+
+class ResBlock(nn.Module):
+    """GN-SiLU-conv, +time-emb, GN-SiLU-zeroconv, skip; then temporal conv
+    (openaimodel3d.py:109-236)."""
+
+    out_channels: int
+    use_temporal_conv: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, emb, batch_size: int):
+        # x: (BT, H, W, C); emb: (BT, D)
+        h = GroupNorm32(32, name="in_norm")(x)
+        h = silu(h)
+        h = Conv(self.out_channels, (3, 3), dtype=self.dtype, name="in_conv")(h)
+        emb_out = Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(silu(emb))
+        h = h + emb_out[:, None, None, :].astype(h.dtype)
+        h = GroupNorm32(32, name="out_norm")(h)
+        h = silu(h)
+        h = Conv(self.out_channels, (3, 3), dtype=self.dtype, zero_init=True, name="out_conv")(h)
+        if x.shape[-1] != self.out_channels:
+            x = Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
+        h = x + h
+        if self.use_temporal_conv:
+            bt, hh, ww, c = h.shape
+            t = bt // batch_size
+            hv = h.reshape(batch_size, t, hh, ww, c)
+            hv = TemporalConvBlock(c, dtype=self.dtype, name="temporal_conv")(hv)
+            h = hv.reshape(bt, hh, ww, c)
+        return h
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv(self.channels, (3, 3), strides=2, dtype=self.dtype, name="op")(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return Conv(self.channels, (3, 3), dtype=self.dtype, name="conv")(x)
+
+
+class UNet3D(nn.Module):
+    """Full denoiser. Input x: (B, T, H, W, in_channels) — the noisy latent
+    channel-concatenated with the rendered-guidance latent (`hybrid`
+    conditioning, ddpm3d.py:1437-1443). Output: (B, T, H, W, out_channels) v-pred."""
+
+    cfg: UNetConfig = UNetConfig()
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, timesteps, context, fs=None):
+        cfg = self.cfg
+        b, t, hh, ww, _ = x.shape
+        mc = cfg.model_channels
+        ted = mc * 4
+
+        # --- embeddings -----------------------------------------------------
+        t_emb = timestep_embedding(timesteps.astype(jnp.float32), mc)
+        emb = Dense(ted, dtype=self.dtype, name="time_embed_0")(t_emb.astype(self.dtype))
+        emb = Dense(ted, dtype=self.dtype, name="time_embed_2")(silu(emb))
+        if cfg.fs_condition:
+            if fs is None:
+                fs = jnp.full((b,), cfg.default_fs, dtype=jnp.float32)
+            fs_emb = timestep_embedding(fs.astype(jnp.float32), mc)
+            fs_emb = Dense(ted, dtype=self.dtype, name="fps_embed_0")(fs_emb.astype(self.dtype))
+            fs_emb = Dense(ted, dtype=self.dtype, zero_init=True, name="fps_embed_2")(silu(fs_emb))
+            emb = emb + fs_emb
+        emb = jnp.repeat(emb, t, axis=0)  # (B*T, ted)
+
+        # --- context: per-frame image tokens (openaimodel3d.py:553-563) -----
+        l_ctx = context.shape[1]
+        if l_ctx == cfg.text_context_len + t * 16:
+            ctx_text = jnp.repeat(context[:, : cfg.text_context_len], t, axis=0)
+            ctx_img = context[:, cfg.text_context_len :].reshape(b * t, 16, context.shape[-1])
+            ctx = jnp.concatenate([ctx_text, ctx_img], axis=1)
+        else:
+            ctx = jnp.repeat(context, t, axis=0)
+        ctx = ctx.astype(self.dtype)
+
+        h = x.reshape(b * t, hh, ww, x.shape[-1]).astype(self.dtype)
+
+        def spatial(ch, ds, name):
+            heads = ch // cfg.num_head_channels
+            return SpatialTransformer(
+                channels=ch, heads=heads, dim_head=cfg.num_head_channels,
+                depth=cfg.transformer_depth, context_dim=cfg.context_dim,
+                image_cross_attention=cfg.image_cross_attention, dtype=self.dtype, name=name,
+            )
+
+        def temporal(ch, name, heads=None):
+            heads = heads if heads is not None else ch // cfg.num_head_channels
+            return TemporalTransformer(
+                channels=ch, heads=heads, dim_head=cfg.num_head_channels,
+                depth=cfg.transformer_depth, causal=cfg.use_causal_attention,
+                dtype=self.dtype, name=name,
+            )
+
+        def run_temporal(mod, h):
+            bt, sh, sw, c = h.shape
+            hv = h.reshape(b, t, sh, sw, c)
+            return mod(hv).reshape(bt, sh, sw, c)
+
+        # --- input blocks ----------------------------------------------------
+        hs = []
+        h = Conv(mc, (3, 3), dtype=self.dtype, name="in_conv")(h)
+        if cfg.addition_attention:
+            # init temporal attention: fixed 8 heads (openaimodel3d.py:389-399)
+            h = run_temporal(temporal(mc, "init_attn", heads=8), h)
+        hs.append(h)
+
+        ch = mc
+        ds = 1
+        for level, mult in enumerate(cfg.channel_mult):
+            for j in range(cfg.num_res_blocks):
+                h = ResBlock(mult * mc, use_temporal_conv=cfg.temporal_conv,
+                             dtype=self.dtype, name=f"down_{level}_{j}_res")(h, emb, b)
+                ch = mult * mc
+                if ds in cfg.attention_resolutions:
+                    h = spatial(ch, ds, f"down_{level}_{j}_spatial")(h, ctx)
+                    if cfg.temporal_attention:
+                        h = run_temporal(temporal(ch, f"down_{level}_{j}_temporal"), h)
+                hs.append(h)
+            if level != len(cfg.channel_mult) - 1:
+                h = Downsample(ch, dtype=self.dtype, name=f"down_{level}_downsample")(h)
+                hs.append(h)
+                ds *= 2
+
+        # --- middle ----------------------------------------------------------
+        h = ResBlock(ch, use_temporal_conv=cfg.temporal_conv, dtype=self.dtype, name="mid_res1")(h, emb, b)
+        h = spatial(ch, ds, "mid_spatial")(h, ctx)
+        if cfg.temporal_attention:
+            h = run_temporal(temporal(ch, "mid_temporal"), h)
+        h = ResBlock(ch, use_temporal_conv=cfg.temporal_conv, dtype=self.dtype, name="mid_res2")(h, emb, b)
+
+        # --- output blocks ---------------------------------------------------
+        for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+            for j in range(cfg.num_res_blocks + 1):
+                skip = hs.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResBlock(mult * mc, use_temporal_conv=cfg.temporal_conv,
+                             dtype=self.dtype, name=f"up_{level}_{j}_res")(h, emb, b)
+                ch = mult * mc
+                if ds in cfg.attention_resolutions:
+                    h = spatial(ch, ds, f"up_{level}_{j}_spatial")(h, ctx)
+                    if cfg.temporal_attention:
+                        h = run_temporal(temporal(ch, f"up_{level}_{j}_temporal"), h)
+                if level and j == cfg.num_res_blocks:
+                    h = Upsample(ch, dtype=self.dtype, name=f"up_{level}_upsample")(h)
+                    ds //= 2
+
+        h = GroupNorm32(32, name="out_norm")(h)
+        h = silu(h)
+        h = Conv(cfg.out_channels, (3, 3), dtype=self.dtype, zero_init=True, name="out_conv")(h)
+        return h.reshape(b, t, hh, ww, cfg.out_channels).astype(jnp.float32)

@@ -1,0 +1,111 @@
+"""Attention cores.
+
+Layout convention everywhere: (batch, seq, heads, head_dim) — the layout
+`jax.nn.dot_product_attention` and our Pallas kernels consume without
+transposes.
+
+Three implementations:
+  - "xla":    einsum QK^T -> fp32 softmax -> PV. XLA fuses this well for short
+              sequences (temporal t<=25, cross kv<=477).
+  - "flash":  TPU Pallas flash attention (jax.experimental.pallas.ops.tpu) for
+              long self-attention (spatial hw up to 9216 tokens) — never
+              materializes the (S, S) logits.
+  - "auto":   flash on TPU when the shape qualifies, else xla.
+
+The reference runs xformers memory-efficient attention for spatial layers and
+plain einsum attention for temporal layers (lvdm/modules/attention.py:66-67,
+146-209); this module is the TPU-native replacement for both.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Reference-semantics attention: bf16 matmuls, fp32 softmax.
+
+    q: (B, Sq, H, D); k, v: (B, Sk, H, D); mask: broadcastable to
+    (B, H, Sq, Sk), True = attend. Returns (B, Sq, H, D) in q.dtype.
+    """
+    d = q.shape[-1]
+    scale = d**-0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits.astype(jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_call(q, k, v, block_q, block_k):
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    d = q.shape[-1]
+    # pallas kernel layout is (B, H, S, D) and applies sm_scale to logits
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    block_sizes = fa.BlockSizes(
+        block_q=block_q,
+        block_k_major=block_k,
+        block_k=block_k,
+        block_b=1,
+    )
+    out = fa.flash_attention(qt, kt, vt, sm_scale=d**-0.5, block_sizes=block_sizes)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def flash_attention(q, k, v, block_q: int = 512, block_k: int = 512):
+    """TPU flash attention; q/k/v (B, S, H, D). Sequence lengths must be
+    multiples of the block sizes (caller pads; `attention` below handles it)."""
+    sq, sk = q.shape[1], k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    return _flash_call(q, k, v, block_q, block_k)
+
+
+def _qualifies_for_flash(q, k, mask) -> bool:
+    if mask is not None:
+        return False
+    sq, sk, d = q.shape[1], k.shape[1], q.shape[-1]
+    # flash pays off for long self-attention; short/cross attention is faster
+    # as one fused einsum. Require 128-lane friendly dims.
+    return sq >= 1024 and sk >= 1024 and sq % 512 == 0 and sk % 512 == 0 and d % 64 == 0
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatching attention entry point. q/k/v: (B, S, H, D)."""
+    if impl == "xla":
+        return xla_attention(q, k, v, mask)
+    if impl == "flash":
+        return flash_attention(q, k, v)
+    if impl == "auto":
+        if _on_tpu() and _qualifies_for_flash(q, k, mask):
+            return flash_attention(q, k, v)
+        return xla_attention(q, k, v, mask)
+    raise ValueError(f"unknown attention impl {impl!r}")

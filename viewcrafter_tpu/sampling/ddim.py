@@ -1,0 +1,117 @@
+"""DDIM sampler for v-parameterized video latents, as one jitted `lax.fori_loop`.
+
+Semantics parity with the reference samplers:
+  - step math (v->eps, pred_x0, dynamic rescale, dir_xt, eta noise):
+    lvdm/models/samplers/ddim.py:207-281
+  - CFG combine + guidance rescale: ddim.py:218-231
+  - multi-condition CFG (text & image scales, 3 branches):
+    lvdm/models/samplers/ddim_multiplecond.py:226-236
+
+TPU-first differences from the reference:
+  - the cond/uncond(/uncond-img) branches are BATCHED along the leading axis
+    into one UNet call per step instead of 2-3 sequential calls, which keeps
+    the MXU saturated and halves kernel-launch overhead;
+  - the 50-step loop is a `lax.fori_loop` inside one jit — schedule arrays are
+    gathered per step, no host round-trips;
+  - per-step noise comes from folding the step index into the sampling key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from viewcrafter_tpu.ops.schedule import (
+    DDIMSchedule,
+    predict_eps_from_z_and_v,
+    predict_start_from_z_and_v,
+    rescale_noise_cfg,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceConfig:
+    """Classifier-free guidance knobs (configs/infer_config.py:39-48)."""
+
+    scale: float = 7.5  # text guidance (unconditional_guidance_scale)
+    rescale: float = 0.7  # guidance_rescale
+    cfg_img: Optional[float] = None  # image guidance; not-None => multi-cond CFG (3 branches)
+
+    @property
+    def num_branches(self) -> int:
+        if self.scale == 1.0:
+            return 1
+        return 3 if self.cfg_img is not None else 2
+
+
+def ddim_sample(
+    denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    x_T: jnp.ndarray,
+    schedule: DDIMSchedule,
+    rng: jax.Array,
+    guidance: GuidanceConfig = GuidanceConfig(),
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Run the full DDIM chain.
+
+    denoise_fn(x_k, t) -> v predictions, where x_k has the K guidance branches
+    stacked on the leading axis: x_k = tile(x, (K, 1, ...)), t: (K*B,) DDPM
+    timesteps. Branch order along K: [uncond, cond] for plain CFG,
+    [uncond, uncond_img(no-text, with-image), cond] for multi-cond.
+    The caller closes the UNet params + per-branch contexts + concat latents
+    over this function.
+
+    x_T: (B, T, H, W, C) initial noise. Returns pred x_0 latents (B, T, H, W, C).
+    """
+    b = x_T.shape[0]
+    k = guidance.num_branches
+    ts = jnp.asarray(schedule.timesteps)
+    alphas = jnp.asarray(schedule.alphas)
+    alphas_prev = jnp.asarray(schedule.alphas_prev)
+    sqrt_1m_alphas = jnp.asarray(schedule.sqrt_one_minus_alphas)
+    sigmas = jnp.asarray(schedule.sigmas)
+    use_rescale = schedule.scale_arr is not None
+    scale_arr = jnp.asarray(schedule.scale_arr) if use_rescale else None
+    scale_arr_prev = jnp.asarray(schedule.scale_arr_prev) if use_rescale else None
+
+    def step(i, carry):
+        x = carry
+        t = ts[i]
+        t_batch = jnp.full((k * b,), t, dtype=jnp.float32)
+        v_all = denoise_fn(jnp.tile(x, (k,) + (1,) * (x.ndim - 1)), t_batch)
+        v_all = v_all.astype(jnp.float32)
+        if k == 1:
+            v = v_all
+        elif k == 2:
+            v_uncond, v_cond = jnp.split(v_all, 2, axis=0)
+            v = v_uncond + guidance.scale * (v_cond - v_uncond)
+            if guidance.rescale > 0:
+                v = rescale_noise_cfg(v, v_cond, guidance.rescale)
+        else:
+            v_uncond, v_uncond_img, v_cond = jnp.split(v_all, 3, axis=0)
+            v = (
+                v_uncond
+                + guidance.cfg_img * (v_uncond_img - v_uncond)
+                + guidance.scale * (v_cond - v_uncond_img)
+            )
+            if guidance.rescale > 0:
+                v = rescale_noise_cfg(v, v_cond, guidance.rescale)
+
+        sqrt_a = jnp.sqrt(alphas[i])
+        sqrt_1ma = sqrt_1m_alphas[i]
+        e_t = predict_eps_from_z_and_v(x, v, sqrt_a, sqrt_1ma)
+        pred_x0 = predict_start_from_z_and_v(x, v, sqrt_a, sqrt_1ma)
+        if use_rescale:
+            pred_x0 = pred_x0 * (scale_arr_prev[i] / scale_arr[i])
+
+        a_prev = alphas_prev[i]
+        sigma = sigmas[i]
+        dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma**2, 0.0)) * e_t
+        noise = sigma * jax.random.normal(jax.random.fold_in(rng, i), x.shape, jnp.float32)
+        x = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise * temperature
+        return x
+
+    return jax.lax.fori_loop(0, schedule.num_steps, step, x_T.astype(jnp.float32))
