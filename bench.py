@@ -1,0 +1,77 @@
+"""Headline benchmark: seconds per generated video, flagship configuration.
+
+Reference baseline (BASELINE.md): ViewCrafter_25 — 576x1024, 25 frames,
+DDIM-50, perframe VAE — 120 s / 23.5 GB on A100-40G. We measure the SAME
+workload (the full jitted render->encode->sample->decode program, random
+weights — FLOP/bandwidth identical to trained weights) on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": baseline/value}
+
+Env knobs: VIEWCRAFTER_BENCH_MODEL (default viewcrafter_25),
+VIEWCRAFTER_BENCH_STEPS (default 50), VIEWCRAFTER_BENCH_REPS (default 2).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# A100-40G reference numbers per model family (reference README.md:117-122)
+BASELINES = {
+    "viewcrafter_25": 120.0,
+    "viewcrafter_16": 75.0,
+    "viewcrafter_25_512": 50.0,
+}
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from viewcrafter_tpu.config import get_model_config
+    from viewcrafter_tpu.models.lvdm import VideoDiffusionEngine
+
+    model_name = os.environ.get("VIEWCRAFTER_BENCH_MODEL", "viewcrafter_25")
+    steps = int(os.environ.get("VIEWCRAFTER_BENCH_STEPS", "50"))
+    reps = int(os.environ.get("VIEWCRAFTER_BENCH_REPS", "2"))
+
+    cfg = get_model_config(model_name)
+    eng = VideoDiffusionEngine(cfg)
+    params = jax.block_until_ready(jax.jit(eng.init_params)(jax.random.PRNGKey(0)))
+
+    frames = jnp.zeros((1, cfg.video_length, cfg.height, cfg.width, 3))
+    ids = jnp.asarray(eng.prompt_ids("Rotating view of a scene", 1))
+    uids = jnp.asarray(eng.prompt_ids("", 1))
+
+    def run(seed):
+        out = eng.jitted_generate(params, frames, ids, uids, jax.random.PRNGKey(seed), steps=steps)
+        # force completion via a host transfer: block_until_ready can return
+        # early through the experimental axon tunnel, a D2H read cannot
+        return float(jnp.sum(out[0, 0, 0, 0]))
+
+    run(0)  # compile
+    times = []
+    for i in range(reps):
+        t0 = time.time()
+        run(i + 1)
+        times.append(time.time() - t0)
+    value = min(times)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"sec/video ({cfg.height}x{cfg.width}x{cfg.video_length}, DDIM-{steps}) per chip",
+                "value": round(value, 2),
+                "unit": "s",
+                "vs_baseline": round(BASELINES.get(model_name, 120.0) / value, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

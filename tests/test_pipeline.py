@@ -1,0 +1,86 @@
+"""End-to-end pipeline smoke tests on the tiny model preset (random weights).
+
+Validates the full orchestration graph — dust3r pair inference, MST+Adam
+alignment, trajectory synthesis, rasterization, diffusion sampling, artifact
+writing — not output quality (weights are random; golden-quality tests need
+the released checkpoints, SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from viewcrafter_tpu.config import Dust3rConfig
+from viewcrafter_tpu.pipeline import InferenceOptions, ViewCrafterPipeline
+
+TINY_DUST3R = Dust3rConfig(
+    enc_embed_dim=64,
+    enc_depth=2,
+    enc_num_heads=2,
+    dec_embed_dim=32,
+    dec_depth=4,
+    dec_num_heads=2,
+    dpt_feature_dim=16,
+    dpt_hidden_dims=(8, 8, 16, 32),
+)
+
+
+def make_test_image(path):
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    # some structure so dust3r/rasterizer have gradients to chew on
+    arr[30:60, 40:90] = [200, 50, 50]
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("vc")
+    img = os.path.join(tmp, "scene.png")
+    make_test_image(img)
+    opts = InferenceOptions(
+        image_dir=img,
+        out_dir=str(tmp / "out"),
+        exp_name="t",
+        mode="single_view_target",
+        model="viewcrafter_tiny",
+        ddim_steps=2,
+        video_length=4,
+        dust3r_size=64,
+        niter=5,
+        batch_size=2,
+        d_theta=[5.0],
+        d_phi=[10.0],
+        d_r=[-0.1],
+    )
+    return ViewCrafterPipeline(opts, dust3r_cfg=TINY_DUST3R)
+
+
+def test_single_view_target_end_to_end(tiny_pipeline):
+    p = tiny_pipeline
+    result = p.run()
+    assert result.shape == (4, 32, 64, 3)
+    assert np.isfinite(result).all()
+    assert result.min() >= -1.001 and result.max() <= 1.001
+    save = p.opts.save_dir
+    for artifact in ["pcd0.ply"]:
+        assert os.path.exists(os.path.join(save, artifact)), artifact
+    # video written as mp4 or frame dir
+    assert os.path.exists(os.path.join(save, "render0.mp4")) or os.path.exists(
+        os.path.join(save, "render0.mp4.frames")
+    )
+    assert os.path.exists(os.path.join(save, "diffusion0.mp4")) or os.path.exists(
+        os.path.join(save, "diffusion0.mp4.frames")
+    )
+
+
+def test_single_view_txt_mode(tiny_pipeline, tmp_path):
+    p = tiny_pipeline
+    traj = tmp_path / "traj.txt"
+    traj.write_text("0 15 30\n0 2 4\n0 0 0\n")
+    p.opts.mode = "single_view_txt"
+    p.opts.traj_txt = str(traj)
+    result = p.run()
+    assert result.shape == (4, 32, 64, 3)
+    p.opts.mode = "single_view_target"

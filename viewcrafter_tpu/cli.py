@@ -1,0 +1,151 @@
+"""Command-line entry point, flag-compatible with the reference
+(inference.py:8-31 + configs/infer_config.py:4-59).
+
+Usage examples (mirror run.sh / run_sparse.sh / run_eval.sh):
+
+  python -m viewcrafter_tpu.cli --image_dir test/images/fruit.png \
+      --mode single_view_txt --traj_txt test/trajs/loop2.txt \
+      --ckpt_path checkpoints/model.ckpt \
+      --model_path checkpoints/DUSt3R_ViTLarge_BaseDecoder_512_dpt.pth
+
+  python -m viewcrafter_tpu.cli --image_dir test/images_sparse/bicycle \
+      --mode sparse_view_interp ...
+
+  python -m viewcrafter_tpu.cli --image_dir test/eval1 --mode single_view_eval ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="viewcrafter_tpu inference")
+    # general
+    p.add_argument("--image_dir", type=str, default="./test/images/fruit.png")
+    p.add_argument("--out_dir", type=str, default="./output")
+    p.add_argument("--exp_name", type=str, default=None)
+    # renderer
+    p.add_argument("--mode", type=str, default="single_view_txt",
+                   choices=["single_view_target", "single_view_txt", "single_view_eval",
+                            "sparse_view_interp", "single_view_ref_iterative",
+                            "single_view_1drc_iterative", "single_view_nbv"])
+    p.add_argument("--traj_txt", type=str, default=None)
+    p.add_argument("--elevation", type=float, default=5.0)
+    p.add_argument("--center_scale", type=float, default=1.0)
+    p.add_argument("--d_theta", nargs="+", type=float, default=[10.0])
+    p.add_argument("--d_phi", nargs="+", type=float, default=[30.0])
+    p.add_argument("--d_r", nargs="+", type=float, default=[-0.2])
+    p.add_argument("--d_x", nargs="+", type=float, default=[0.0])
+    p.add_argument("--d_y", nargs="+", type=float, default=[0.0])
+    p.add_argument("--mask_image", type=bool, default=False)
+    p.add_argument("--mask_pc", type=bool, default=True)
+    p.add_argument("--reduce_pc", type=bool, default=False)
+    p.add_argument("--bg_trd", type=float, default=0.0)
+    p.add_argument("--dpt_trd", type=float, default=1.0)
+    # diffusion
+    p.add_argument("--model", type=str, default="viewcrafter_25",
+                   help="model preset: viewcrafter_25 | viewcrafter_16 | viewcrafter_25_512")
+    p.add_argument("--ckpt_path", type=str, default="./checkpoints/model.ckpt")
+    p.add_argument("--config", type=str, default=None,
+                   help="accepted for reference-CLI compatibility; presets replace yaml")
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--ddim_eta", type=float, default=1.0)
+    p.add_argument("--bs", type=int, default=1)
+    p.add_argument("--height", type=int, default=576)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--frame_stride", type=int, default=10)
+    p.add_argument("--unconditional_guidance_scale", type=float, default=7.5)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--video_length", type=int, default=25)
+    p.add_argument("--prompt", type=str, default="Rotating view of a scene")
+    p.add_argument("--negative_prompt", default=False)
+    p.add_argument("--text_input", default=True)
+    p.add_argument("--multiple_cond_cfg", action="store_true", default=False)
+    p.add_argument("--cfg_img", type=float, default=None)
+    p.add_argument("--timestep_spacing", type=str, default="uniform_trailing")
+    p.add_argument("--guidance_rescale", type=float, default=0.7)
+    p.add_argument("--perframe_ae", default=True)
+    p.add_argument("--n_samples", type=int, default=1)
+    # dust3r
+    p.add_argument("--model_path", type=str,
+                   default="./checkpoints/DUSt3R_ViTLarge_BaseDecoder_512_dpt.pth")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--schedule", type=str, default="linear")
+    p.add_argument("--niter", type=int, default=300)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--min_conf_thr", type=float, default=3.0)
+    return p
+
+
+def opts_from_args(args) -> "InferenceOptions":
+    from viewcrafter_tpu.pipeline import InferenceOptions
+
+    # pick the model preset from resolution/length flags when not explicit
+    model = args.model
+    if model == "viewcrafter_25":
+        if args.height == 320 or args.width == 512:
+            model = "viewcrafter_25_512"
+        elif args.video_length == 16:
+            model = "viewcrafter_16"
+    return InferenceOptions(
+        image_dir=args.image_dir,
+        out_dir=args.out_dir,
+        exp_name=args.exp_name,
+        mode=args.mode,
+        traj_txt=args.traj_txt,
+        elevation=args.elevation,
+        center_scale=args.center_scale,
+        d_theta=args.d_theta,
+        d_phi=args.d_phi,
+        d_r=args.d_r,
+        d_x=args.d_x,
+        d_y=args.d_y,
+        mask_image=args.mask_image,
+        mask_pc=args.mask_pc,
+        reduce_pc=args.reduce_pc,
+        bg_trd=args.bg_trd,
+        dpt_trd=args.dpt_trd,
+        model=model,
+        ckpt_path=args.ckpt_path,
+        ddim_steps=args.ddim_steps,
+        ddim_eta=args.ddim_eta,
+        height=args.height,
+        width=args.width,
+        frame_stride=args.frame_stride,
+        unconditional_guidance_scale=args.unconditional_guidance_scale,
+        seed=args.seed,
+        video_length=args.video_length,
+        prompt=args.prompt,
+        multiple_cond_cfg=args.multiple_cond_cfg,
+        cfg_img=args.cfg_img,
+        timestep_spacing=args.timestep_spacing,
+        guidance_rescale=args.guidance_rescale,
+        n_samples=args.n_samples,
+        model_path=args.model_path,
+        batch_size=args.batch_size,
+        niter=args.niter,
+        lr=args.lr,
+        schedule=args.schedule,
+        min_conf_thr=args.min_conf_thr,
+    )
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    if args.exp_name is None:
+        prefix = datetime.now().strftime("%Y%m%d_%H%M")
+        args.exp_name = f"{prefix}_{os.path.splitext(os.path.basename(args.image_dir.rstrip('/')))[0]}"
+    opts = opts_from_args(args)
+
+    from viewcrafter_tpu.pipeline import ViewCrafterPipeline
+
+    pipeline = ViewCrafterPipeline(opts)
+    pipeline.run()
+    print(f"done; artifacts in {opts.save_dir}")
+
+
+if __name__ == "__main__":
+    main()

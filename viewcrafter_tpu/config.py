@@ -191,6 +191,29 @@ register_model(
 )
 
 
+register_model(
+    ModelConfig(
+        name="viewcrafter_tiny",  # dev/test preset: tiny dims, same topology
+        diffusion=DiffusionConfig(latent_size=(4, 8)),
+        unet=UNetConfig(
+            model_channels=32, num_res_blocks=1, attention_resolutions=(1, 2),
+            channel_mult=(1, 2), num_head_channels=16, context_dim=64,
+            temporal_length=4,
+        ),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2, 4, 4)),
+        resampler=ResamplerConfig(
+            dim=64, depth=1, dim_head=16, heads=4, num_queries=4,
+            embedding_dim=48, output_dim=64, video_length=4,
+        ),
+        clip_text=CLIPTextConfig(vocab_size=49408, width=64, heads=2, layers=2),
+        clip_vision=CLIPVisionConfig(image_size=224, patch_size=56, width=48, heads=2, layers=2),
+        video_length=4,
+        height=32,
+        width=64,
+    )
+)
+
+
 def get_model_config(name: str) -> ModelConfig:
     try:
         return MODEL_REGISTRY[name]

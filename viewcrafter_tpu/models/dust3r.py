@@ -187,8 +187,10 @@ class Dust3rDecoder(nn.Module):
             f1, f2 = nf1, nf2
             outs1.append(f1)
             outs2.append(f2)
-        outs1[-1] = LayerNormF32(name="norm1")(outs1[-1])
-        outs2[-1] = LayerNormF32(name="norm2")(outs2[-1])
+        # one shared final norm for both streams (model.py:144)
+        dec_norm = LayerNormF32(name="norm")
+        outs1[-1] = dec_norm(outs1[-1])
+        outs2[-1] = dec_norm(outs2[-1])
         return outs1, outs2
 
 
@@ -249,7 +251,11 @@ class DPTHead(nn.Module):
         l2 = nn.ConvTranspose(dims[1], (2, 2), strides=(2, 2), dtype=jnp.float32, name="act2_up")(l2)
         l3 = nn.Conv(dims[2], (1, 1), dtype=jnp.float32, name="act3_proj")(maps[2])
         l4 = nn.Conv(dims[3], (1, 1), dtype=jnp.float32, name="act4_proj")(maps[3])
-        l4 = nn.Conv(dims[3], (3, 3), strides=2, dtype=jnp.float32, name="act4_down")(l4)
+        # torch stride-2 pad-1 semantics (see unet3d.Downsample note)
+        l4 = nn.Conv(
+            dims[3], (3, 3), strides=2, padding=((1, 1), (1, 1)), dtype=jnp.float32,
+            name="act4_down",
+        )(l4)
 
         rn = [
             nn.Conv(fd, (3, 3), use_bias=False, dtype=jnp.float32, name=f"layer{i+1}_rn")(l)

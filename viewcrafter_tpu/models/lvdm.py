@@ -38,9 +38,10 @@ from viewcrafter_tpu.sampling.ddim import GuidanceConfig, ddim_sample
 from viewcrafter_tpu.utils.tokenizer import tokenize
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class LVDMParams:
-    """Parameter pytrees of the five submodels."""
+    """Parameter pytrees of the five submodels (a jax pytree)."""
 
     unet: Any
     vae: Any

@@ -236,7 +236,12 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return Conv(self.channels, (3, 3), strides=2, dtype=self.dtype, name="op")(x)
+        # explicit (1,1) padding: torch stride-2 pad-1 conv semantics (XLA
+        # "SAME" would pad asymmetrically at the end instead)
+        return Conv(
+            self.channels, (3, 3), strides=2, padding=((1, 1), (1, 1)),
+            dtype=self.dtype, name="op",
+        )(x)
 
 
 class Upsample(nn.Module):

@@ -74,12 +74,20 @@ def _flash_call(q, k, v, block_q, block_k):
     return jnp.swapaxes(out, 1, 2)
 
 
-def flash_attention(q, k, v, block_q: int = 512, block_k: int = 512):
-    """TPU flash attention; q/k/v (B, S, H, D). Sequence lengths must be
-    multiples of the block sizes (caller pads; `attention` below handles it)."""
+def _pick_block(seq: int) -> Optional[int]:
+    """Largest MXU-friendly block size that tiles the sequence exactly."""
+    for b in (1024, 512, 384, 256, 192, 128):
+        if seq % b == 0:
+            return b
+    return None
+
+
+def flash_attention(q, k, v, block_q: Optional[int] = None, block_k: Optional[int] = None):
+    """TPU flash attention; q/k/v (B, S, H, D). Block sizes must tile the
+    sequence lengths; picked automatically when not given."""
     sq, sk = q.shape[1], k.shape[1]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q = block_q or min(_pick_block(sq) or sq, 512)
+    block_k = block_k or min(_pick_block(sk) or sk, 512)
     return _flash_call(q, k, v, block_q, block_k)
 
 
@@ -87,9 +95,15 @@ def _qualifies_for_flash(q, k, mask) -> bool:
     if mask is not None:
         return False
     sq, sk, d = q.shape[1], k.shape[1], q.shape[-1]
-    # flash pays off for long self-attention; short/cross attention is faster
-    # as one fused einsum. Require 128-lane friendly dims.
-    return sq >= 1024 and sk >= 1024 and sq % 512 == 0 and sk % 512 == 0 and d % 64 == 0
+    # flash pays off for long self-attention (the spatial stages: 2304-9216
+    # tokens at 576x1024); short/cross attention is faster as one fused einsum
+    return (
+        sq >= 2048
+        and sk >= 2048
+        and d % 64 == 0
+        and _pick_block(sq) is not None
+        and _pick_block(sk) is not None
+    )
 
 
 def attention(

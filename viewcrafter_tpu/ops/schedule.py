@@ -201,7 +201,8 @@ def rescale_noise_cfg(noise_cfg: jnp.ndarray, noise_pred_text: jnp.ndarray, guid
     axes = tuple(range(1, noise_pred_text.ndim))
     std_text = jnp.std(noise_pred_text.astype(jnp.float32), axis=axes, keepdims=True)
     std_cfg = jnp.std(noise_cfg.astype(jnp.float32), axis=axes, keepdims=True)
-    rescaled = noise_cfg * (std_text / std_cfg)
+    # guard a degenerate all-zero prediction (e.g. freshly-initialized model)
+    rescaled = noise_cfg * (std_text / jnp.maximum(std_cfg, 1e-8))
     return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
 
 

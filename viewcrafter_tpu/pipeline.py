@@ -1,0 +1,567 @@
+"""ViewCrafter pipeline orchestrator: images -> point cloud -> rendered
+trajectory -> diffused novel-view video.
+
+Mirrors the reference `ViewCrafter` class (viewcrafter.py:30-462) mode-for-mode:
+  - single_view_target / single_view_txt (viewcrafter.py:108-169)
+  - sparse_view / sparse_view_interp (:171-279)
+  - single_view_eval (:281-309)
+  - iterative: single_view_ref_iterative (:311), single_view_1drc_iterative
+    (:334), single_view_nbv (:357)
+plus artifact outputs with the same names (render*.mp4, diffusion*.mp4,
+pcd*.ply, viz_traj.mp4).
+
+TPU-first division of labor:
+  - DUSt3R pair inference is BATCHED over the pair axis (fixed chunk size,
+    one jitted program) instead of the reference's per-pair Python loop
+    (dust3r/inference.py:80);
+  - alignment runs as one jitted 300-step scan (align/global_align.py);
+  - render -> VAE encode -> DDIM -> VAE decode is one jitted program on
+    device (models/lvdm.py); only file I/O and trajectory synthesis are host
+    code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viewcrafter_tpu.align.global_align import AlignedScene, GlobalAligner, SceneGraph
+from viewcrafter_tpu.config import AlignConfig, Dust3rConfig, ModelConfig, get_model_config
+from viewcrafter_tpu.geometry import trajectory as traj
+from viewcrafter_tpu.geometry.transforms import (
+    inv_se3,
+    make_intrinsics,
+    world_point_to_kth,
+    world_point_to_obj,
+)
+from viewcrafter_tpu.models.dust3r import Dust3rModel
+from viewcrafter_tpu.models.lvdm import LVDMParams, VideoDiffusionEngine
+from viewcrafter_tpu.ops.rasterize import render_trajectory
+from viewcrafter_tpu.ops.resize import resize_bilinear
+from viewcrafter_tpu.sampling.ddim import GuidanceConfig
+from viewcrafter_tpu.utils import io as vio
+
+
+@dataclasses.dataclass
+class InferenceOptions:
+    """Runtime flags, mirroring configs/infer_config.py:4-59."""
+
+    image_dir: str = "test/images/fruit.png"
+    out_dir: str = "./output"
+    exp_name: Optional[str] = None
+    mode: str = "single_view_txt"
+    traj_txt: Optional[str] = None
+    elevation: float = 5.0
+    center_scale: float = 1.0
+    d_theta: Sequence[float] = (10.0,)
+    d_phi: Sequence[float] = (30.0,)
+    d_r: Sequence[float] = (-0.2,)
+    d_x: Sequence[float] = (0.0,)
+    d_y: Sequence[float] = (0.0,)
+    mask_image: bool = False
+    mask_pc: bool = True
+    reduce_pc: bool = False
+    bg_trd: float = 0.0
+    dpt_trd: float = 1.0
+    # diffusion
+    model: str = "viewcrafter_25"
+    ckpt_path: Optional[str] = None
+    ddim_steps: int = 50
+    ddim_eta: float = 1.0
+    height: int = 576
+    width: int = 1024
+    frame_stride: int = 10
+    unconditional_guidance_scale: float = 7.5
+    seed: int = 123
+    video_length: int = 25
+    prompt: str = "Rotating view of a scene"
+    multiple_cond_cfg: bool = False
+    cfg_img: Optional[float] = None
+    timestep_spacing: str = "uniform_trailing"
+    guidance_rescale: float = 0.7
+    n_samples: int = 1
+    # dust3r
+    model_path: Optional[str] = None
+    batch_size: int = 8  # pair-chunk size for batched dust3r inference
+    niter: int = 300
+    lr: float = 0.01
+    schedule: str = "linear"
+    min_conf_thr: float = 3.0
+    dust3r_size: int = 512
+
+    @property
+    def save_dir(self) -> str:
+        name = self.exp_name
+        if name is None:
+            name = os.path.splitext(os.path.basename(self.image_dir.rstrip("/")))[0]
+        return os.path.join(self.out_dir, name)
+
+
+class ViewCrafterPipeline:
+    """Owns both model stacks and dispatches NVS modes."""
+
+    def __init__(self, opts: InferenceOptions, init_models: bool = True,
+                 rng: Optional[jax.Array] = None,
+                 model_cfg: Optional[ModelConfig] = None,
+                 dust3r_cfg: Optional[Dust3rConfig] = None):
+        self.opts = opts
+        self.model_cfg: ModelConfig = model_cfg or get_model_config(opts.model)
+        self.dust3r_cfg = dust3r_cfg or Dust3rConfig()
+        self.align_cfg = AlignConfig(
+            niter=opts.niter, lr=opts.lr, schedule=opts.schedule, min_conf_thr=opts.min_conf_thr
+        )
+        self.rng = rng if rng is not None else jax.random.PRNGKey(opts.seed)
+        self.engine = VideoDiffusionEngine(self.model_cfg)
+        self.dust3r = Dust3rModel(cfg=self.dust3r_cfg)
+        self.dust3r_params = None
+        self.lvdm_params: Optional[LVDMParams] = None
+        self._dust3r_apply = jax.jit(self.dust3r.apply)
+        if init_models:
+            self.setup_models()
+        # state per run
+        self.images: List[vio.LoadedImage] = []
+        self.scene: Optional[AlignedScene] = None
+        self.elevation = opts.elevation
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    def setup_models(self):
+        """Load released checkpoints when paths are given, else random init
+        (dev mode, documented: outputs are untrained noise)."""
+        from viewcrafter_tpu.utils import checkpoint as ck
+
+        rng_d, rng_l = jax.random.split(self.rng)
+        if self.opts.model_path and os.path.exists(self.opts.model_path):
+            raw = ck.load_torch_file(self.opts.model_path)
+            translated = ck.translate_dust3r_checkpoint(raw, self.dust3r_cfg)
+            ref = jax.jit(self.dust3r.init)(
+                rng_d, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
+            )
+            errs = ck.verify_tree_shapes(translated["params"], jax.tree.map(np.asarray, ref["params"]))
+            if errs:
+                raise ValueError("dust3r checkpoint mismatch:\n" + "\n".join(errs[:20]))
+            self.dust3r_params = jax.tree.map(jnp.asarray, translated)
+        else:
+            self.dust3r_params = jax.jit(self.dust3r.init)(
+                rng_d, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
+            )
+
+        if self.opts.ckpt_path and os.path.exists(self.opts.ckpt_path):
+            raw = ck.load_torch_file(self.opts.ckpt_path)
+            trees = ck.translate_lvdm_checkpoint(raw, self.model_cfg)
+            self.lvdm_params = LVDMParams(
+                unet=jax.tree.map(jnp.asarray, trees["unet"]),
+                vae=jax.tree.map(jnp.asarray, trees["vae"]),
+                clip_text=jax.tree.map(jnp.asarray, trees["clip_text"]),
+                clip_vision=jax.tree.map(jnp.asarray, trees["clip_vision"]),
+                resampler=jax.tree.map(jnp.asarray, trees["resampler"]),
+            )
+        else:
+            self.lvdm_params = jax.jit(self.engine.init_params)(rng_l)
+
+    # ------------------------------------------------------------------
+    # dust3r + alignment
+    # ------------------------------------------------------------------
+
+    def run_dust3r(self, images: List[vio.LoadedImage], clean_pc: bool = False) -> AlignedScene:
+        """Complete symmetric pair graph -> batched inference -> global
+        alignment (viewcrafter.py:47-59)."""
+        n = len(images)
+        pairs = [(i, j) for i in range(n) for j in range(n) if i != j]
+        imgs = np.stack([im.img for im in images])  # (N, H, W, 3) [-1,1]
+
+        chunk = max(1, self.opts.batch_size)
+        pred_i, pred_j, conf_i, conf_j = [], [], [], []
+        for s in range(0, len(pairs), chunk):
+            batch = pairs[s : s + chunk]
+            pad = chunk - len(batch)
+            ii = [i for i, _ in batch] + [batch[-1][0]] * pad
+            jj = [j for _, j in batch] + [batch[-1][1]] * pad
+            out = self._dust3r_apply(
+                self.dust3r_params, jnp.asarray(imgs[ii]), jnp.asarray(imgs[jj])
+            )
+            take = len(batch)
+            pred_i.append(np.asarray(out["pts3d1"])[:take])
+            pred_j.append(np.asarray(out["pts3d2_in_view1"])[:take])
+            conf_i.append(np.asarray(out["conf1"])[:take])
+            conf_j.append(np.asarray(out["conf2"])[:take])
+
+        graph = SceneGraph(
+            edges=np.asarray(pairs),
+            pred_i=np.concatenate(pred_i),
+            pred_j=np.concatenate(pred_j),
+            conf_i=np.concatenate(conf_i),
+            conf_j=np.concatenate(conf_j),
+            imgs=(imgs + 1.0) / 2.0,
+        )
+        aligner = GlobalAligner(graph, self.align_cfg)
+        params = aligner.init_mst()
+        params, _ = aligner.optimize(params)
+        scene = aligner.get_scene(params, clip_thred=self.opts.dpt_trd)
+        if clean_pc:
+            scene = aligner.clean_pointcloud(scene)
+        self.scene = scene
+        return scene
+
+    # ------------------------------------------------------------------
+    # rendering
+    # ------------------------------------------------------------------
+
+    def run_render(
+        self,
+        pts3d: np.ndarray,  # (M, 3) selected world points
+        colors: np.ndarray,  # (M, 3) [0,1]
+        c2ws: np.ndarray,  # (V, 4, 4) trajectory
+        focals: np.ndarray,
+        pps: np.ndarray,
+        hw: Tuple[int, int],
+        nbv: bool = False,
+    ):
+        """Rasterize the trajectory (viewcrafter.py:61-90). Returns frames in
+        [0,1] at dust3r resolution, plus coverage masks when nbv."""
+        h, w = hw
+        K = make_intrinsics(np.broadcast_to(np.asarray(focals).reshape(-1), (len(c2ws),)),
+                            np.broadcast_to(np.asarray(pps).reshape(-1, 2), (len(c2ws), 2)))
+        w2cs = np.asarray(inv_se3(jnp.asarray(c2ws)))
+        frames = np.asarray(
+            render_trajectory(
+                jnp.asarray(pts3d, jnp.float32), jnp.asarray(colors, jnp.float32),
+                jnp.asarray(w2cs), jnp.asarray(K), h, w,
+            )
+        )
+        masks = None
+        if nbv:
+            ones = jnp.ones((len(pts3d), 1), jnp.float32)
+            masks = np.asarray(
+                render_trajectory(
+                    jnp.asarray(pts3d, jnp.float32), ones, jnp.asarray(w2cs), jnp.asarray(K), h, w
+                )
+            )
+        return frames, masks
+
+    def _selected_points(self, scene: AlignedScene, masks: Optional[np.ndarray], view_sel=None):
+        pts = scene.pts3d
+        cols = scene.imgs
+        n = len(pts)
+        idx = range(n) if view_sel is None else view_sel
+        sel_p, sel_c = [], []
+        for i in idx:
+            if masks is None:
+                sel_p.append(pts[i].reshape(-1, 3))
+                sel_c.append(cols[i].reshape(-1, 3))
+            else:
+                m = masks[i].reshape(-1)
+                sel_p.append(pts[i].reshape(-1, 3)[m])
+                sel_c.append(cols[i].reshape(-1, 3)[m])
+        return np.concatenate(sel_p), np.concatenate(sel_c)
+
+    def _conf_bg_masks(self, scene: AlignedScene) -> np.ndarray:
+        """Conf + background-depth masks for multi-view point clouds
+        (viewcrafter.py:185-190; replicates the reference comparing raw conf
+        against the log-transformed threshold)."""
+        thr = float(np.log(self.opts.min_conf_thr))
+        conf_mask = scene.im_conf > thr
+        depths = scene.depths
+        bg = []
+        for d in depths:
+            inner = d[40:-40, :] if d.shape[0] > 80 else d
+            bg.append(d > self.opts.bg_trd * (inner.max() + inner.min()))
+        return conf_mask | np.stack(bg)
+
+    # ------------------------------------------------------------------
+    # diffusion
+    # ------------------------------------------------------------------
+
+    def run_diffusion(self, frames01: np.ndarray, cond_idx: int = 0) -> np.ndarray:
+        """Guidance frames [0,1] (T, H, W, 3) -> generated video [-1,1]
+        (viewcrafter.py:93-106 + image_guided_synthesis)."""
+        opts = self.opts
+        videos = jnp.asarray(frames01 * 2.0 - 1.0)[None]  # (1, T, H, W, 3)
+        ids = jnp.asarray(self.engine.prompt_ids(opts.prompt, 1))
+        uids = jnp.asarray(self.engine.prompt_ids("", 1))
+        guidance = GuidanceConfig(
+            scale=opts.unconditional_guidance_scale,
+            rescale=opts.guidance_rescale,
+            cfg_img=opts.cfg_img if opts.multiple_cond_cfg else None,
+        )
+        self.rng, sub = jax.random.split(self.rng)
+        video = self.engine.jitted_generate(
+            self.lvdm_params, videos, ids, uids, sub,
+            steps=opts.ddim_steps, eta=opts.ddim_eta, guidance=guidance,
+            fs=opts.frame_stride, timestep_spacing=opts.timestep_spacing,
+            cond_idx=cond_idx,
+        )
+        return np.asarray(video[0])  # (T, H, W, 3) [-1,1]
+
+    # ------------------------------------------------------------------
+    # shared mode plumbing
+    # ------------------------------------------------------------------
+
+    def _upscale_to_target(self, frames01: np.ndarray) -> np.ndarray:
+        h, w = self.model_cfg.height, self.model_cfg.width
+        # np.array (not asarray): callers overwrite frames with GT images
+        return np.array(resize_bilinear(jnp.asarray(frames01), h, w))
+
+    def _scene_for_anchor(self, k: int, center_scale_ref: int):
+        """Common preamble: re-anchor world to the object center in front of
+        camera k (viewcrafter.py:110-121)."""
+        scene = self.scene
+        h, w = scene.depths.shape[1:]
+        depth_avg = scene.depths[center_scale_ref][h // 2, w // 2]
+        radius = float(depth_avg * self.opts.center_scale)
+        poses, pts = world_point_to_obj(
+            jnp.asarray(scene.poses), jnp.asarray(scene.pts3d), k % len(scene.poses),
+            radius, self.elevation,
+        )
+        return np.asarray(poses), np.asarray(pts), radius, (h, w)
+
+    # ------------------------------------------------------------------
+    # modes
+    # ------------------------------------------------------------------
+
+    def nvs_single_view(self, save_suffix: str = "0") -> np.ndarray:
+        """viewcrafter.py:108-169. The scene was built from the duplicated
+        single image; the last view is the anchor."""
+        opts = self.opts
+        scene = self.scene
+        poses, pts, radius, (h, w) = self._scene_for_anchor(k=-1, center_scale_ref=-1)
+        focal = scene.focals[-1]
+        pp = scene.principal_points[-1]
+        anchor = poses[-1]
+
+        nbv_info = None
+        if opts.mode in ("single_view_target", "single_view_ref_iterative", "single_view_1drc_iterative"):
+            depth_avg = radius / opts.center_scale
+            c2ws = traj.generate_traj_specified(
+                anchor, opts.d_theta[0], opts.d_phi[0], opts.d_r[0],
+                opts.d_x[0] * depth_avg / focal, opts.d_y[0] * depth_avg / focal,
+                opts.video_length,
+            )
+        elif opts.mode == "single_view_txt":
+            with open(opts.traj_txt) as f:
+                lines = f.readlines()
+            phi = [float(x) for x in lines[0].split()]
+            theta = [float(x) for x in lines[1].split()]
+            r = [float(x) for x in lines[2].split()]
+            c2ws = traj.generate_traj_txt(anchor, phi, theta, r, opts.video_length)
+            vio.save_trajectory_video(c2ws, os.path.join(opts.save_dir, "viz_traj.mp4"))
+        elif opts.mode == "single_view_nbv":
+            cand, thetas, phis = traj.generate_candidate_poses(
+                anchor, opts.d_theta[0], opts.d_phi[0], num_candidates=2
+            )
+            sel_p, sel_c = self._selected_points_last(pts, scene)
+            _, viewmasks = self.run_render(
+                sel_p, np.ones_like(sel_c), cand, focal, pp, (h, w), nbv=True
+            )
+            nbv_id = int(np.argmin(viewmasks.sum(axis=(1, 2, 3))))
+            vio.save_image(viewmasks[nbv_id], os.path.join(opts.save_dir, f"candidate_mask0_nbv{nbv_id}.png"))
+            c2ws = traj.generate_traj_specified(
+                anchor, thetas[nbv_id], phis[nbv_id], opts.d_r[0], 0, 0, opts.video_length
+            )
+            self.elevation -= thetas[nbv_id]
+        else:
+            raise KeyError(f"invalid mode: {opts.mode}")
+
+        sel_p, sel_c = self._selected_points_last(pts, scene)
+        frames, _ = self.run_render(sel_p, sel_c, c2ws, focal, pp, (h, w))
+        frames = self._upscale_to_target(frames)
+        frames[0] = (self.img_ori + 1.0) / 2.0
+        if opts.mode == "single_view_txt" and phi[-1] == 0.0 and theta[-1] == 0.0 and r[-1] == 0.0:
+            frames[-1] = (self.img_ori + 1.0) / 2.0
+
+        vio.save_video(frames, os.path.join(opts.save_dir, f"render{save_suffix}.mp4"))
+        vio.save_pointcloud_ply(sel_p, sel_c, os.path.join(opts.save_dir, f"pcd{save_suffix}.ply"))
+        result = self.run_diffusion(frames)
+        vio.save_video((result + 1.0) / 2.0, os.path.join(opts.save_dir, f"diffusion{save_suffix}.mp4"))
+        return result
+
+    def _selected_points_last(self, pts, scene):
+        return pts[-1].reshape(-1, 3), scene.imgs[-1].reshape(-1, 3)
+
+    def nvs_sparse_view(self, it: int) -> np.ndarray:
+        """Iterative-mode sparse re-render (viewcrafter.py:171-234)."""
+        opts = self.opts
+        scene = self.scene
+        masks = self._conf_bg_masks(scene)
+
+        if opts.mode == "single_view_ref_iterative":
+            poses, pts, radius, (h, w) = self._scene_for_anchor(k=0, center_scale_ref=0)
+            anchor, focal, pp = poses[0], scene.focals[0], scene.principal_points[0]
+            cond_img = self.img_ori
+        elif opts.mode == "single_view_1drc_iterative":
+            self.elevation -= opts.d_theta[it - 1]
+            poses, pts, radius, (h, w) = self._scene_for_anchor(k=-1, center_scale_ref=0)
+            anchor, focal, pp = poses[-1], scene.focals[-1], scene.principal_points[-1]
+            cond_img = self.images[-1].img_ori
+        elif opts.mode == "single_view_nbv":
+            poses, pts, radius, (h, w) = self._scene_for_anchor(k=-1, center_scale_ref=0)
+            anchor, focal, pp = poses[-1], scene.focals[-1], scene.principal_points[-1]
+            cond_img = self.images[-1].img_ori
+            cand, thetas, phis = traj.generate_candidate_poses(
+                anchor, opts.d_theta[0], opts.d_phi[0], num_candidates=3
+            )
+            sel_p, sel_c = self._selected_points(scene_pts_override(scene, pts), masks)
+            _, viewmasks = self.run_render(sel_p, np.ones_like(sel_c), cand, focal, pp, (h, w), nbv=True)
+            nbv_id = int(np.argmin(viewmasks.sum(axis=(1, 2, 3))))
+            vio.save_image(viewmasks[nbv_id], os.path.join(opts.save_dir, f"candidate_mask{it}_nbv{nbv_id}.png"))
+            c2ws = traj.generate_traj_specified(
+                anchor, thetas[nbv_id], phis[nbv_id], opts.d_r[0], 0, 0, opts.video_length
+            )
+            self.elevation -= thetas[nbv_id]
+        if opts.mode in ("single_view_ref_iterative", "single_view_1drc_iterative"):
+            c2ws = traj.generate_traj_specified(
+                anchor, opts.d_theta[it], opts.d_phi[it], opts.d_r[it], 0, 0, opts.video_length
+            )
+
+        sel_p, sel_c = self._selected_points(scene_pts_override(scene, pts), masks)
+        frames, _ = self.run_render(sel_p, sel_c, c2ws, focal, pp, (h, w))
+        frames = self._upscale_to_target(frames)
+        frames[0] = (cond_img + 1.0) / 2.0
+
+        vio.save_video(frames, os.path.join(opts.save_dir, f"render{it}.mp4"))
+        vio.save_pointcloud_ply(sel_p, sel_c, os.path.join(opts.save_dir, f"pcd{it}.ply"))
+        result = self.run_diffusion(frames)
+        vio.save_video((result + 1.0) / 2.0, os.path.join(opts.save_dir, f"diffusion{it}.mp4"))
+        return result
+
+    def nvs_sparse_view_interp(self) -> np.ndarray:
+        """B-spline interpolation between N>=2 real views (viewcrafter.py:236-279)."""
+        opts = self.opts
+        scene = self.scene
+        h, w = scene.depths.shape[1:]
+        n = len(self.images)
+        masks = None if n == 2 else self._conf_bg_masks(scene)
+
+        c2ws = traj.interp_traj(scene.poses, n_inserts=opts.video_length)
+        focals = traj.interpolate_sequence(scene.focals, opts.video_length - 2)
+        pps = traj.interpolate_sequence(scene.principal_points, opts.video_length - 2)
+        sel_p, sel_c = self._selected_points(scene, masks)
+        frames, _ = self.run_render(sel_p, sel_c, c2ws, focals, pps, (h, w))
+        frames = self._upscale_to_target(frames)
+        for i in range(n):
+            frames[i * (opts.video_length - 1)] = (self.img_gts[i] + 1.0) / 2.0
+
+        vio.save_video(frames, os.path.join(opts.save_dir, "render.mp4"))
+        vio.save_pointcloud_ply(sel_p, sel_c, os.path.join(opts.save_dir, "pcd.ply"))
+
+        results = []
+        for i in range(n - 1):
+            seg = frames[i * (opts.video_length - 1) : i * (opts.video_length - 1) + opts.video_length]
+            results.append(self.run_diffusion(seg))
+        result = np.concatenate(results)
+        vio.save_video((result + 1.0) / 2.0, os.path.join(opts.save_dir, "diffusion.mp4"))
+        return result
+
+    def nvs_single_view_eval(self) -> np.ndarray:
+        """Eval protocol: recover the clip's own trajectory from all frames,
+        re-render frame0's cloud along it (viewcrafter.py:281-309)."""
+        opts = self.opts
+        scene = self.scene
+        h, w = scene.depths.shape[1:]
+        poses, _ = world_point_to_kth(
+            jnp.asarray(scene.poses), jnp.asarray(scene.pts3d), 0
+        )
+        c2ws = np.asarray(poses)
+        focals, pps = scene.focals, scene.principal_points
+
+        # rebuild the cloud from frame 0 alone
+        ref_scene = self.run_dust3r([self.images[0], self.images[0]])
+        sel_p = ref_scene.pts3d[0].reshape(-1, 3)
+        sel_c = ref_scene.imgs[0].reshape(-1, 3)
+
+        frames, _ = self.run_render(sel_p, sel_c, c2ws, focals[:1], pps[:1], (h, w))
+        frames = self._upscale_to_target(frames)
+        frames[0] = (self.img_gts[0] + 1.0) / 2.0
+        vio.save_video(frames, os.path.join(opts.save_dir, "render_ref0.mp4"))
+        result = self.run_diffusion(frames)
+        vio.save_video((result + 1.0) / 2.0, os.path.join(opts.save_dir, "diffusion_ref0.mp4"))
+        return result
+
+    # ------------------------------------------------------------------
+    # iterative drivers (viewcrafter.py:311-382)
+    # ------------------------------------------------------------------
+
+    def _iterative(self, n_iters: int) -> List[np.ndarray]:
+        sample_rate = 6
+        all_results = []
+        result = None
+        for it in range(n_iters):
+            if it == 0:
+                result = self.nvs_single_view()
+            else:
+                for i in range(sample_rate, len(result), sample_rate):
+                    frame = vio.resize_to_dust3r(result[i], hw=self.images[0].img.shape[:2])
+                    self.images.append(
+                        vio.LoadedImage(img=frame, img_ori=result[i], index=len(self.images))
+                    )
+                self.run_dust3r(self.images, clean_pc=True)
+                result = self.nvs_sparse_view(it)
+            all_results.append(result)
+        return all_results
+
+    def nvs_single_view_ref_iterative(self):
+        return self._iterative(len(self.opts.d_phi))
+
+    def nvs_single_view_1drc_iterative(self):
+        return self._iterative(len(self.opts.d_phi))
+
+    def nvs_single_view_nbv(self):
+        return self._iterative(3)
+
+    # ------------------------------------------------------------------
+    # entry
+    # ------------------------------------------------------------------
+
+    def load_inputs(self):
+        opts = self.opts
+        if opts.mode in ("sparse_view_interp", "single_view_eval"):
+            images = vio.load_images(
+                opts.image_dir, size=opts.dust3r_size,
+                target_hw=(self.model_cfg.height, self.model_cfg.width),
+            )
+            if len(images) < 2:
+                raise ValueError("sparse/eval modes need >= 2 input views")
+            self.images = images
+            self.img_gts = [im.img_ori for im in images]
+            self.img_ori = images[0].img_ori
+        else:
+            images = vio.load_images(
+                opts.image_dir, size=opts.dust3r_size,
+                target_hw=(self.model_cfg.height, self.model_cfg.width),
+            )
+            self.img_ori = images[0].img_ori
+            self.img_gts = [self.img_ori]
+            if len(images) == 1:
+                images = [images[0], dataclasses.replace(images[0], index=1)]
+            self.images = images
+
+    def run(self):
+        os.makedirs(self.opts.save_dir, exist_ok=True)
+        self.load_inputs()
+        self.run_dust3r(self.images, clean_pc=self.opts.mode in ("sparse_view_interp",))
+        mode = self.opts.mode
+        if mode in ("single_view_target", "single_view_txt"):
+            return self.nvs_single_view()
+        if mode == "sparse_view_interp":
+            return self.nvs_sparse_view_interp()
+        if mode == "single_view_eval":
+            return self.nvs_single_view_eval()
+        if mode == "single_view_ref_iterative":
+            return self.nvs_single_view_ref_iterative()
+        if mode == "single_view_1drc_iterative":
+            return self.nvs_single_view_1drc_iterative()
+        if mode == "single_view_nbv":
+            return self.nvs_single_view_nbv()
+        raise KeyError(f"invalid mode: {mode}")
+
+
+def scene_pts_override(scene: AlignedScene, pts: np.ndarray) -> AlignedScene:
+    """Scene view with re-anchored points (used after world_point_to_obj)."""
+    return dataclasses.replace(scene, pts3d=np.asarray(pts))
