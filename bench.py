@@ -39,9 +39,13 @@ def main():
     steps = int(os.environ.get("VIEWCRAFTER_BENCH_STEPS", "50"))
     reps = int(os.environ.get("VIEWCRAFTER_BENCH_REPS", "2"))
 
+    from viewcrafter_tpu.models.lvdm import cast_params_bf16
+
     cfg = get_model_config(model_name)
     eng = VideoDiffusionEngine(cfg)
     params = jax.block_until_ready(jax.jit(eng.init_params)(jax.random.PRNGKey(0)))
+    if os.environ.get("VIEWCRAFTER_BENCH_FP32_WEIGHTS", "0") != "1":
+        params = jax.block_until_ready(jax.jit(cast_params_bf16)(params))
 
     frames = jnp.zeros((1, cfg.video_length, cfg.height, cfg.width, 3))
     ids = jnp.asarray(eng.prompt_ids("Rotating view of a scene", 1))

@@ -1,17 +1,27 @@
 """Test configuration: run the suite on a virtual 8-device CPU mesh.
 
-Must set flags before jax initializes its backends, hence the env mutation at
-import time (pytest imports conftest before any test module).
+The sandbox environment force-registers an experimental TPU platform ("axon")
+via sitecustomize and sets JAX_PLATFORMS=axon, so merely setting
+JAX_PLATFORMS=cpu is not enough — we also pin jax's default device to the
+first virtual CPU device after import. Flags must be set before jax
+initializes its backends.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu,axon" if os.environ.get("JAX_PLATFORMS") == "axon" else "cpu"
+os.environ["VIEWCRAFTER_ATTN_IMPL"] = "xla"  # arrays live on CPU in tests
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
+
+try:
+    _cpus = jax.local_devices(backend="cpu")
+    jax.config.update("jax_default_device", _cpus[0])
+except RuntimeError:
+    _cpus = jax.devices()
 
 jax.config.update("jax_default_matmul_precision", "highest")
 # single-core CI box: persistent compile cache makes re-runs cheap

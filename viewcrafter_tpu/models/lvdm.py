@@ -50,6 +50,18 @@ class LVDMParams:
     resampler: Any
 
 
+def cast_params_bf16(tree):
+    """Cast float32 leaves to bfloat16 (inference weight storage).
+
+    Halves HBM for weights (the 2.5B-param flagship otherwise spends ~10 GB of
+    a v5e's 16 GB on fp32 weights). Norm layers still compute in fp32; their
+    bf16-stored scales upcast on use."""
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if hasattr(p, "dtype") and p.dtype == jnp.float32 else p,
+        tree,
+    )
+
+
 class VideoDiffusionEngine:
     """Owns the submodules + schedules; exposes jitted inference programs."""
 
@@ -188,9 +200,26 @@ class VideoDiffusionEngine:
         fs_val = float(fs if fs is not None else cfg.unet.default_fs)
         fs_batch = jnp.full((k * b,), fs_val, jnp.float32)
 
-        def denoise_fn(x_k, t_batch):
-            x_in = jnp.concatenate([x_k, z_cond_k], axis=-1)
-            return self.unet.apply(params.unet, x_in, t_batch, ctx_flat, fs=fs_batch)
+        if guidance.sequential and k > 1:
+            # evaluate branches one at a time: peak UNet activations ~1/k
+            def denoise_fn(x_k, t_batch):
+                shp = x_k.shape[1:]
+                xs = x_k.reshape((k, b) + shp)
+                ts = t_batch.reshape(k, b)
+                ctxs = contexts  # (K, B, L, C)
+                fss = fs_batch.reshape(k, b)
+
+                def one(args):
+                    x, t_b, ctx, fs_b = args
+                    x_in = jnp.concatenate([x, z_cond], axis=-1)
+                    return self.unet.apply(params.unet, x_in, t_b, ctx, fs=fs_b)
+
+                out = jax.lax.map(one, (xs, ts, ctxs, fss))
+                return out.reshape((k * b,) + out.shape[2:])
+        else:
+            def denoise_fn(x_k, t_batch):
+                x_in = jnp.concatenate([x_k, z_cond_k], axis=-1)
+                return self.unet.apply(params.unet, x_in, t_batch, ctx_flat, fs=fs_batch)
 
         h, w = z_cond.shape[2:4]
         x_T = jax.random.normal(rng_noise, (b, t, h, w, cfg.vae.z_channels), jnp.float32)

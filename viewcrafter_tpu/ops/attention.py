@@ -113,7 +113,14 @@ def attention(
     mask: Optional[jnp.ndarray] = None,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    """Dispatching attention entry point. q/k/v: (B, S, H, D)."""
+    """Dispatching attention entry point. q/k/v: (B, S, H, D).
+
+    VIEWCRAFTER_ATTN_IMPL overrides the impl globally (tests force "xla":
+    the sandbox registers a TPU platform even for CPU-placed arrays, which
+    would fool the backend check)."""
+    import os
+
+    impl = os.environ.get("VIEWCRAFTER_ATTN_IMPL", impl)
     if impl == "xla":
         return xla_attention(q, k, v, mask)
     if impl == "flash":

@@ -25,9 +25,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None) -> Mesh:
-    """Create a ("dp", "sp") mesh over the first n devices."""
-    devices = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None, devices=None) -> Mesh:
+    """Create a ("dp", "sp") mesh over the first n devices. Falls back to the
+    virtual CPU devices when the default platform has too few (the multichip
+    dry-run path)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices and len(devices) < n_devices:
+            devices = jax.local_devices(backend="cpu")
     n = n_devices or len(devices)
     devices = devices[:n]
     if dp is None:

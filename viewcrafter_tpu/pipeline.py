@@ -93,6 +93,7 @@ class InferenceOptions:
     schedule: str = "linear"
     min_conf_thr: float = 3.0
     dust3r_size: int = 512
+    weights_dtype: str = "bf16"  # inference weight storage; "fp32" to disable
 
     @property
     def save_dir(self) -> str:
@@ -165,6 +166,11 @@ class ViewCrafterPipeline:
             )
         else:
             self.lvdm_params = jax.jit(self.engine.init_params)(rng_l)
+        if self.opts.weights_dtype == "bf16":
+            from viewcrafter_tpu.models.lvdm import cast_params_bf16
+
+            self.lvdm_params = cast_params_bf16(self.lvdm_params)
+            self.dust3r_params = cast_params_bf16(self.dust3r_params)
 
     # ------------------------------------------------------------------
     # dust3r + alignment
@@ -173,8 +179,10 @@ class ViewCrafterPipeline:
     def run_dust3r(self, images: List[vio.LoadedImage], clean_pc: bool = False) -> AlignedScene:
         """Complete symmetric pair graph -> batched inference -> global
         alignment (viewcrafter.py:47-59)."""
+        from viewcrafter_tpu.align.pairs import make_pairs
+
         n = len(images)
-        pairs = [(i, j) for i in range(n) for j in range(n) if i != j]
+        pairs = make_pairs(n, scene_graph="complete", symmetrize=True)
         imgs = np.stack([im.img for im in images])  # (N, H, W, 3) [-1,1]
 
         chunk = max(1, self.opts.batch_size)

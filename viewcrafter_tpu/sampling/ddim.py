@@ -34,11 +34,16 @@ from viewcrafter_tpu.ops.schedule import (
 
 @dataclasses.dataclass(frozen=True)
 class GuidanceConfig:
-    """Classifier-free guidance knobs (configs/infer_config.py:39-48)."""
+    """Classifier-free guidance knobs (configs/infer_config.py:39-48).
+
+    sequential: evaluate the CFG branches one at a time (lax.map) instead of
+    one batched UNet call — ~halves peak activation memory at some throughput
+    cost; needed for the 576x1024 flagship on a single 16 GB v5e chip."""
 
     scale: float = 7.5  # text guidance (unconditional_guidance_scale)
     rescale: float = 0.7  # guidance_rescale
     cfg_img: Optional[float] = None  # image guidance; not-None => multi-cond CFG (3 branches)
+    sequential: bool = False
 
     @property
     def num_branches(self) -> int:

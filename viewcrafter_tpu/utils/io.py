@@ -151,10 +151,20 @@ def save_image(img: np.ndarray, path: str) -> None:
 
 
 def save_pointcloud_ply(points: np.ndarray, colors: np.ndarray, path: str) -> None:
-    """ASCII PLY with dummy zero normals (pvd_utils.py:438-473 format)."""
+    """ASCII PLY with dummy zero normals (pvd_utils.py:438-473 format).
+
+    Uses the native C++ writer when available (viewcrafter_tpu/native);
+    the Python loop below is the fallback."""
     points = np.asarray(points, np.float32).reshape(-1, 3)
     colors = to_uint8(np.asarray(colors).reshape(-1, 3))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        from viewcrafter_tpu import native
+
+        if native.write_ply(path, points, colors):
+            return
+    except Exception:
+        pass
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n")
         f.write(f"element vertex {len(points)}\n")
