@@ -43,16 +43,32 @@ def main():
 
     cfg = get_model_config(model_name)
     eng = VideoDiffusionEngine(cfg)
-    params = jax.block_until_ready(jax.jit(eng.init_params)(jax.random.PRNGKey(0)))
-    if os.environ.get("VIEWCRAFTER_BENCH_FP32_WEIGHTS", "0") != "1":
-        params = jax.block_until_ready(jax.jit(cast_params_bf16)(params))
+    if os.environ.get("VIEWCRAFTER_BENCH_FP32_WEIGHTS", "0") == "1":
+        init = eng.init_params
+    else:
+        # fuse init+cast in one program: a separate cast would briefly hold
+        # fp32 AND bf16 copies (15+ GB) and tip the chip over
+        init = lambda rng: cast_params_bf16(eng.init_params(rng))
+    params = jax.block_until_ready(jax.jit(init)(jax.random.PRNGKey(0)))
 
     frames = jnp.zeros((1, cfg.video_length, cfg.height, cfg.width, 3))
     ids = jnp.asarray(eng.prompt_ids("Rotating view of a scene", 1))
     uids = jnp.asarray(eng.prompt_ids("", 1))
 
+    from viewcrafter_tpu.sampling.ddim import GuidanceConfig
+
+    guidance = GuidanceConfig(
+        sequential=os.environ.get("VIEWCRAFTER_BENCH_SEQ_CFG", "0") == "1"
+    )
+    # sampling runs in windows of `chunk` steps: the serving environment kills
+    # single device executions beyond ~1 minute (x stays on device throughout)
+    chunk = int(os.environ.get("VIEWCRAFTER_BENCH_CHUNK", "10"))
+
     def run(seed):
-        out = eng.jitted_generate(params, frames, ids, uids, jax.random.PRNGKey(seed), steps=steps)
+        out = eng.generate_staged(
+            params, frames, ids, uids, jax.random.PRNGKey(seed), steps=steps,
+            guidance=guidance, chunk=chunk,
+        )
         # force completion via a host transfer: block_until_ready can return
         # early through the experimental axon tunnel, a D2H read cannot
         return float(jnp.sum(out[0, 0, 0, 0]))

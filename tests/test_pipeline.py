@@ -84,3 +84,60 @@ def test_single_view_txt_mode(tiny_pipeline, tmp_path):
     result = p.run()
     assert result.shape == (4, 32, 64, 3)
     p.opts.mode = "single_view_target"
+
+
+def test_sparse_view_interp_mode(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("vc_sparse")
+    d = tmp / "scene"
+    os.makedirs(d)
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    for i in range(2):
+        arr = np.roll(base, shift=i * 6, axis=1)  # horizontal shift ~ camera pan
+        Image.fromarray(arr).save(d / f"{i}.png")
+    opts = InferenceOptions(
+        image_dir=str(d),
+        out_dir=str(tmp / "out"),
+        exp_name="s",
+        mode="sparse_view_interp",
+        model="viewcrafter_tiny",
+        ddim_steps=2,
+        video_length=4,
+        dust3r_size=64,
+        niter=5,
+        batch_size=2,
+    )
+    p = ViewCrafterPipeline(opts, dust3r_cfg=TINY_DUST3R)
+    result = p.run()
+    # one segment between 2 keyframes -> video_length frames
+    assert result.shape == (4, 32, 64, 3)
+    assert os.path.exists(os.path.join(opts.save_dir, "pcd.ply"))
+
+
+def test_single_view_eval_mode(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("vc_eval")
+    d = tmp / "clip"
+    os.makedirs(d)
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    for i in range(3):
+        Image.fromarray(np.roll(base, shift=i * 4, axis=1)).save(d / f"{i:02d}.png")
+    opts = InferenceOptions(
+        image_dir=str(d),
+        out_dir=str(tmp / "out"),
+        exp_name="e",
+        mode="single_view_eval",
+        model="viewcrafter_tiny",
+        ddim_steps=2,
+        video_length=4,
+        dust3r_size=64,
+        niter=5,
+        batch_size=2,
+    )
+    p = ViewCrafterPipeline(opts, dust3r_cfg=TINY_DUST3R)
+    result = p.run()
+    # trajectory = the 3 recovered frames
+    assert result.shape == (3, 32, 64, 3)
+    assert os.path.exists(os.path.join(opts.save_dir, "render_ref0.mp4")) or os.path.exists(
+        os.path.join(opts.save_dir, "render_ref0.mp4.frames")
+    )

@@ -116,27 +116,47 @@ class VideoDiffusionEngine:
     # jitted building blocks
     # ------------------------------------------------------------------
 
-    def encode_frames(self, vae_params, frames, rng=None):
-        """Per-frame VAE encode under lax.scan: (B,T,H,W,3) -> (B,T,h,w,4)*sf."""
+    @staticmethod
+    def _frame_chunk(t: int, max_chunk: int = 5) -> int:
+        """Largest divisor of t <= max_chunk (frames per VAE call). Chunked
+        frames amortize launch overhead ~chunk-x over strictly per-frame work
+        (the reference's perframe_ae) while keeping peak memory bounded."""
+        best = 1
+        for c in range(1, max_chunk + 1):
+            if t % c == 0:
+                best = c
+        return best
 
-        def body(carry, frame):
-            # frame: (B, H, W, 3)
-            z = self.vae.apply(vae_params, frame, carry, method=AutoencoderKL.encode)
+    def encode_frames(self, vae_params, frames, rng=None):
+        """Frame-chunked VAE encode under lax.scan: (B,T,H,W,3) -> (B,T,h,w,4)*sf."""
+        b, t = frames.shape[:2]
+        c = self._frame_chunk(t)
+
+        def body(carry, chunk):
+            # chunk: (B*c, H, W, 3); fresh posterior noise per chunk
+            if carry is None:
+                return None, self.vae.apply(vae_params, chunk, None, method=AutoencoderKL.encode)
+            carry, sub = jax.random.split(carry)
+            z = self.vae.apply(vae_params, chunk, sub, method=AutoencoderKL.encode)
             return carry, z
 
-        frames_t = jnp.swapaxes(frames, 0, 1)  # (T, B, H, W, 3)
+        frames_t = jnp.swapaxes(frames, 0, 1).reshape((t // c, c * b) + frames.shape[2:])
         _, z = jax.lax.scan(body, rng, frames_t)
+        z = z.reshape((t, b) + z.shape[2:])
         return jnp.swapaxes(z, 0, 1) * self.scale_factor
 
     def decode_latents(self, vae_params, z):
-        """Per-frame VAE decode under lax.scan: (B,T,h,w,4) -> (B,T,H,W,3)."""
+        """Frame-chunked VAE decode under lax.scan: (B,T,h,w,4) -> (B,T,H,W,3)."""
+        b, t = z.shape[:2]
+        c = self._frame_chunk(t)
 
-        def body(carry, z_frame):
-            x = self.vae.apply(vae_params, z_frame / self.scale_factor, method=AutoencoderKL.decode)
+        def body(carry, z_chunk):
+            x = self.vae.apply(vae_params, z_chunk / self.scale_factor, method=AutoencoderKL.decode)
             return carry, x
 
-        z_t = jnp.swapaxes(z, 0, 1)
+        z_t = jnp.swapaxes(z, 0, 1).reshape((t // c, c * b) + z.shape[2:])
         _, x = jax.lax.scan(body, None, z_t)
+        x = x.reshape((t, b) + x.shape[2:])
         return jnp.swapaxes(x, 0, 1)
 
     def image_context(self, params: LVDMParams, image):
@@ -195,31 +215,8 @@ class VideoDiffusionEngine:
         contexts = self.build_contexts(
             params, guidance_frames, cond_idx, token_ids, uncond_token_ids, guidance
         )  # (K, B, L, C)
-        ctx_flat = contexts.reshape((k * b,) + contexts.shape[2:])
-        z_cond_k = jnp.tile(z_cond, (k, 1, 1, 1, 1))
         fs_val = float(fs if fs is not None else cfg.unet.default_fs)
-        fs_batch = jnp.full((k * b,), fs_val, jnp.float32)
-
-        if guidance.sequential and k > 1:
-            # evaluate branches one at a time: peak UNet activations ~1/k
-            def denoise_fn(x_k, t_batch):
-                shp = x_k.shape[1:]
-                xs = x_k.reshape((k, b) + shp)
-                ts = t_batch.reshape(k, b)
-                ctxs = contexts  # (K, B, L, C)
-                fss = fs_batch.reshape(k, b)
-
-                def one(args):
-                    x, t_b, ctx, fs_b = args
-                    x_in = jnp.concatenate([x, z_cond], axis=-1)
-                    return self.unet.apply(params.unet, x_in, t_b, ctx, fs=fs_b)
-
-                out = jax.lax.map(one, (xs, ts, ctxs, fss))
-                return out.reshape((k * b,) + out.shape[2:])
-        else:
-            def denoise_fn(x_k, t_batch):
-                x_in = jnp.concatenate([x_k, z_cond_k], axis=-1)
-                return self.unet.apply(params.unet, x_in, t_batch, ctx_flat, fs=fs_batch)
+        denoise_fn = self._denoise_fn(params, z_cond, contexts, fs_val, guidance)
 
         h, w = z_cond.shape[2:4]
         x_T = jax.random.normal(rng_noise, (b, t, h, w, cfg.vae.z_channels), jnp.float32)
@@ -233,6 +230,103 @@ class VideoDiffusionEngine:
             self.generate,
             static_argnames=("steps", "eta", "guidance", "fs", "timestep_spacing", "cond_idx"),
         )
+
+    # ------------------------------------------------------------------
+    # staged generation: several short device calls instead of one long one
+    # ------------------------------------------------------------------
+
+    def _denoise_fn(self, params, z_cond, contexts, fs_val, guidance: GuidanceConfig):
+        k = guidance.num_branches
+        b = z_cond.shape[0]
+        ctx_flat = contexts.reshape((k * b,) + contexts.shape[2:])
+        z_cond_k = jnp.tile(z_cond, (k, 1, 1, 1, 1))
+        fs_batch = jnp.full((k * b,), fs_val, jnp.float32)
+        if guidance.sequential and k > 1:
+            def denoise_fn(x_k, t_batch):
+                shp = x_k.shape[1:]
+                xs = x_k.reshape((k, b) + shp)
+                ts = t_batch.reshape(k, b)
+
+                def one(args):
+                    x, t_b, ctx, fs_b = args
+                    x_in = jnp.concatenate([x, z_cond], axis=-1)
+                    return self.unet.apply(params.unet, x_in, t_b, ctx, fs=fs_b)
+
+                out = jax.lax.map(one, (xs, ts, contexts, fs_batch.reshape(k, b)))
+                return out.reshape((k * b,) + out.shape[2:])
+        else:
+            def denoise_fn(x_k, t_batch):
+                x_in = jnp.concatenate([x_k, z_cond_k], axis=-1)
+                return self.unet.apply(params.unet, x_in, t_batch, ctx_flat, fs=fs_batch)
+        return denoise_fn
+
+    def generate_staged(
+        self,
+        params: LVDMParams,
+        guidance_frames: jnp.ndarray,
+        token_ids: jnp.ndarray,
+        uncond_token_ids: jnp.ndarray,
+        rng: jax.Array,
+        steps: int = 50,
+        eta: float = 1.0,
+        guidance: GuidanceConfig = GuidanceConfig(),
+        fs: Optional[int] = None,
+        timestep_spacing: str = "uniform_trailing",
+        cond_idx: int = 0,
+        chunk: int = 10,
+    ) -> jnp.ndarray:
+        """Same math as `generate`, split into prepare / N sampling windows /
+        decode device programs. x stays on device between calls; per-call wall
+        time stays bounded (single executions beyond ~1 min can trip serving
+        watchdogs). Identical noise schedule and rng stream as the monolithic
+        path."""
+        from viewcrafter_tpu.sampling.ddim import ddim_sample_window
+
+        cfg = self.cfg
+        b, t = guidance_frames.shape[:2]
+        dd = DDIMSchedule.create(self.schedule, steps, eta=eta, timestep_spacing=timestep_spacing)
+        fs_val = float(fs if fs is not None else cfg.unet.default_fs)
+
+        key = ("staged", steps, eta, guidance, fs_val, timestep_spacing, cond_idx, chunk,
+               tuple(guidance_frames.shape))
+        if not hasattr(self, "_staged_cache"):
+            self._staged_cache = {}
+        progs = self._staged_cache.get(key)
+        if progs is None:
+            def prepare(params, frames, ids, uids, rng):
+                rng_z, rng_noise, rng_sample = jax.random.split(rng, 3)
+                z_cond = self.encode_frames(params.vae, frames, rng_z)
+                contexts = self.build_contexts(params, frames, cond_idx, ids, uids, guidance)
+                h, w = z_cond.shape[2:4]
+                x_T = jax.random.normal(rng_noise, (b, t, h, w, cfg.vae.z_channels), jnp.float32)
+                return x_T, z_cond, contexts, rng_sample
+
+            def window(params, x, z_cond, contexts, rng_sample, start, num):
+                denoise_fn = self._denoise_fn(params, z_cond, contexts, fs_val, guidance)
+                return ddim_sample_window(denoise_fn, x, dd, rng_sample, start, num, guidance)
+
+            def decode(params, x):
+                return jnp.clip(self.decode_latents(params.vae, x), -1.0, 1.0)
+
+            progs = (
+                jax.jit(prepare),
+                jax.jit(window, static_argnames=("num",)),
+                jax.jit(decode),
+            )
+            self._staged_cache[key] = progs
+
+        prepare_fn, window_fn, decode_fn = progs
+        x, z_cond, contexts, rng_sample = prepare_fn(
+            params, guidance_frames, token_ids, uncond_token_ids, rng
+        )
+        s0 = 0
+        while s0 < steps:
+            num = min(chunk, steps - s0)
+            x = window_fn(params, x, z_cond, contexts, rng_sample, jnp.asarray(s0), num)
+            # block per window so one device call never exceeds the window
+            x = jax.block_until_ready(x)
+            s0 += num
+        return decode_fn(params, x)
 
     # host-side convenience -------------------------------------------------
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from viewcrafter_tpu.config import UNetConfig
@@ -149,9 +150,67 @@ class SpatialTransformer(nn.Module):
         return x + h.reshape(bt, hh, ww, c)
 
 
+def _temporal_attention(q, k, v, mask=None):
+    """Self-attention over the t axis of (B, T, S, H, D) tensors WITHOUT
+    materializing a (B*S, T, C) transpose — XLA folds the layout change into
+    the matmuls (a standalone transpose of the ds1 activations costs ~8% of a
+    flagship UNet eval)."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bqshd,bkshd->bshqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits.astype(jnp.float32) * (d**-0.5)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bshqk,bkshd->bqshd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+class TemporalSelfAttention(nn.Module):
+    """CrossAttention-compatible params (to_q/k/v/out) acting on (B,T,S,C)."""
+
+    heads: int
+    dim_head: int
+    query_dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b, t, s, _ = x.shape
+        h, d = self.heads, self.dim_head
+        inner = h * d
+        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x).reshape(b, t, s, h, d)
+        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x).reshape(b, t, s, h, d)
+        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x).reshape(b, t, s, h, d)
+        o = _temporal_attention(q, k, v, mask).reshape(b, t, s, inner)
+        return Dense(self.query_dim, dtype=self.dtype, name="to_out")(o)
+
+
+class TemporalTransformerBlock(nn.Module):
+    """TransformerBlock twin for the (B,T,S,C) layout; identical param names
+    (attn1/attn2 are both self-attention: only_self_att, attention.py:387-390)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        x = x + TemporalSelfAttention(
+            heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
+            dtype=self.dtype, name="attn1",
+        )(LayerNormF32(name="norm1")(x), mask=mask)
+        x = x + TemporalSelfAttention(
+            heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
+            dtype=self.dtype, name="attn2",
+        )(LayerNormF32(name="norm2")(x), mask=mask)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNormF32(name="norm3")(x))
+        return x
+
+
 class TemporalTransformer(nn.Module):
     """Transformer over the t axis per pixel (attention.py:313-412,
-    use_linear=True, only_self_att=True)."""
+    use_linear=True, only_self_att=True). Runs in the native (B, T, S, C)
+    layout end to end."""
 
     channels: int
     heads: int
@@ -166,19 +225,19 @@ class TemporalTransformer(nn.Module):
         b, t, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
         h = GroupNorm32(32, eps=1e-6, name="norm")(x)
-        h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, t, c)
+        h = h.reshape(b, t, hh * ww, c)
         h = Dense(inner, dtype=self.dtype, name="proj_in")(h)
         mask = None
         if self.causal:
-            mask = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
+            # broadcast over (b, s, heads): logits are (B, S, H, Tq, Tk)
+            mask = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None, None]
         for i in range(self.depth):
-            h = TransformerBlock(
+            h = TemporalTransformerBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
-                self_attn_impl="xla", dtype=self.dtype, name=f"block_{i}",
+                dtype=self.dtype, name=f"block_{i}",
             )(h, mask=mask)
         h = Dense(self.channels, dtype=self.dtype, zero_init=True, name="proj_out")(h)
-        h = h.reshape(b, hh, ww, t, c).transpose(0, 3, 1, 2, 4)
-        return x + h
+        return x + h.reshape(b, t, hh, ww, c)
 
 
 class TemporalConvBlock(nn.Module):
@@ -193,8 +252,7 @@ class TemporalConvBlock(nn.Module):
         # x: (B, T, H, W, C); kernel (3,1,1) convolves t only
         h = x
         for i in range(4):
-            h = GroupNorm32(32, name=f"norm_{i}")(h)
-            h = silu(h)
+            h = GroupNorm32(32, with_silu=True, name=f"norm_{i}")(h)
             h = Conv(self.channels, (3, 1, 1), dtype=self.dtype, zero_init=(i == 3), name=f"conv_{i}")(h)
         return x + h
 
@@ -210,13 +268,11 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, batch_size: int):
         # x: (BT, H, W, C); emb: (BT, D)
-        h = GroupNorm32(32, name="in_norm")(x)
-        h = silu(h)
+        h = GroupNorm32(32, with_silu=True, name="in_norm")(x)
         h = Conv(self.out_channels, (3, 3), dtype=self.dtype, name="in_conv")(h)
         emb_out = Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(silu(emb))
         h = h + emb_out[:, None, None, :].astype(h.dtype)
-        h = GroupNorm32(32, name="out_norm")(h)
-        h = silu(h)
+        h = GroupNorm32(32, with_silu=True, name="out_norm")(h)
         h = Conv(self.out_channels, (3, 3), dtype=self.dtype, zero_init=True, name="out_conv")(h)
         if x.shape[-1] != self.out_channels:
             x = Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
@@ -363,7 +419,6 @@ class UNet3D(nn.Module):
                     h = Upsample(ch, dtype=self.dtype, name=f"up_{level}_upsample")(h)
                     ds //= 2
 
-        h = GroupNorm32(32, name="out_norm")(h)
-        h = silu(h)
+        h = GroupNorm32(32, with_silu=True, name="out_norm")(h)
         h = Conv(cfg.out_channels, (3, 3), dtype=self.dtype, zero_init=True, name="out_conv")(h)
         return h.reshape(b, t, hh, ww, cfg.out_channels).astype(jnp.float32)

@@ -33,11 +33,9 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm32(32, eps=1e-6, name="norm1")(x)
-        h = silu(h)
+        h = GroupNorm32(32, eps=1e-6, with_silu=True, name="norm1")(x)
         h = Conv(self.out_ch, (3, 3), dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(32, eps=1e-6, name="norm2")(h)
-        h = silu(h)
+        h = GroupNorm32(32, eps=1e-6, with_silu=True, name="norm2")(h)
         h = Conv(self.out_ch, (3, 3), dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
             x = Conv(self.out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
@@ -104,8 +102,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
-        h = GroupNorm32(32, eps=1e-6, name="norm_out")(h)
-        h = silu(h)
+        h = GroupNorm32(32, eps=1e-6, with_silu=True, name="norm_out")(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         return Conv(out_ch, (3, 3), dtype=self.dtype, name="conv_out")(h)
 
@@ -130,8 +127,7 @@ class Decoder(nn.Module):
                 h = ResnetBlock(self.ch * self.ch_mult[i], dtype=self.dtype, name=f"up_{i}_block_{j}")(h)
             if i != 0:
                 h = Upsample(h.shape[-1], dtype=self.dtype, name=f"up_{i}_upsample")(h)
-        h = GroupNorm32(32, eps=1e-6, name="norm_out")(h)
-        h = silu(h)
+        h = GroupNorm32(32, eps=1e-6, with_silu=True, name="norm_out")(h)
         return Conv(self.out_ch, (3, 3), dtype=self.dtype, name="conv_out")(h)
 
 

@@ -52,26 +52,16 @@ class GuidanceConfig:
         return 3 if self.cfg_img is not None else 2
 
 
-def ddim_sample(
+def make_ddim_step(
     denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
-    x_T: jnp.ndarray,
+    batch_size: int,
     schedule: DDIMSchedule,
     rng: jax.Array,
     guidance: GuidanceConfig = GuidanceConfig(),
     temperature: float = 1.0,
-) -> jnp.ndarray:
-    """Run the full DDIM chain.
-
-    denoise_fn(x_k, t) -> v predictions, where x_k has the K guidance branches
-    stacked on the leading axis: x_k = tile(x, (K, 1, ...)), t: (K*B,) DDPM
-    timesteps. Branch order along K: [uncond, cond] for plain CFG,
-    [uncond, uncond_img(no-text, with-image), cond] for multi-cond.
-    The caller closes the UNet params + per-branch contexts + concat latents
-    over this function.
-
-    x_T: (B, T, H, W, C) initial noise. Returns pred x_0 latents (B, T, H, W, C).
-    """
-    b = x_T.shape[0]
+) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Build step(i, x) -> x for sampling-step index i (descending-t order)."""
+    b = batch_size
     k = guidance.num_branches
     ts = jnp.asarray(schedule.timesteps)
     alphas = jnp.asarray(schedule.alphas)
@@ -119,4 +109,46 @@ def ddim_sample(
         x = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise * temperature
         return x
 
+    return step
+
+
+def ddim_sample(
+    denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    x_T: jnp.ndarray,
+    schedule: DDIMSchedule,
+    rng: jax.Array,
+    guidance: GuidanceConfig = GuidanceConfig(),
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Run the full DDIM chain as one fori_loop.
+
+    denoise_fn(x_k, t) -> v predictions, where x_k has the K guidance branches
+    stacked on the leading axis: x_k = tile(x, (K, 1, ...)), t: (K*B,) DDPM
+    timesteps. Branch order along K: [uncond, cond] for plain CFG,
+    [uncond, uncond_img(no-text, with-image), cond] for multi-cond.
+    The caller closes the UNet params + per-branch contexts + concat latents
+    over this function.
+
+    x_T: (B, T, H, W, C) initial noise. Returns pred x_0 latents (B, T, H, W, C).
+    """
+    step = make_ddim_step(denoise_fn, x_T.shape[0], schedule, rng, guidance, temperature)
     return jax.lax.fori_loop(0, schedule.num_steps, step, x_T.astype(jnp.float32))
+
+
+def ddim_sample_window(
+    denoise_fn,
+    x: jnp.ndarray,
+    schedule: DDIMSchedule,
+    rng: jax.Array,
+    start: jnp.ndarray,  # traced scalar: first sampling-step index of this window
+    num_steps: int,  # static window length
+    guidance: GuidanceConfig = GuidanceConfig(),
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Run `num_steps` sampling steps beginning at step `start`. Used to split
+    the chain into several short device calls (the serving environment limits
+    single-execution wall time) while x stays on device between calls."""
+    step = make_ddim_step(denoise_fn, x.shape[0], schedule, rng, guidance, temperature)
+    return jax.lax.fori_loop(
+        0, num_steps, lambda j, xx: step(start + j, xx), x.astype(jnp.float32)
+    )
