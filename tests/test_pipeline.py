@@ -141,3 +141,32 @@ def test_single_view_eval_mode(tmp_path_factory):
     assert os.path.exists(os.path.join(opts.save_dir, "render_ref0.mp4")) or os.path.exists(
         os.path.join(opts.save_dir, "render_ref0.mp4.frames")
     )
+
+
+def test_iterative_ref_mode(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("vc_iter")
+    img = os.path.join(tmp, "scene.png")
+    make_test_image(img)
+    opts = InferenceOptions(
+        image_dir=img,
+        out_dir=str(tmp / "out"),
+        exp_name="it",
+        mode="single_view_ref_iterative",
+        model="viewcrafter_tiny",
+        ddim_steps=2,
+        video_length=4,
+        dust3r_size=64,
+        niter=5,
+        batch_size=2,
+        d_theta=[5.0, 8.0],
+        d_phi=[10.0, 15.0],
+        d_r=[-0.1, -0.1],
+        d_x=[0.0, 0.0],
+        d_y=[0.0, 0.0],
+    )
+    p = ViewCrafterPipeline(opts, dust3r_cfg=TINY_DUST3R)
+    results = p.run()
+    assert len(results) == 2
+    for r in results:
+        assert r.shape == (4, 32, 64, 3)
+    assert os.path.exists(os.path.join(opts.save_dir, "pcd1.ply"))

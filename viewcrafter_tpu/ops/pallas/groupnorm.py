@@ -132,14 +132,21 @@ def group_norm_silu(x, scale, bias, num_groups=32, eps=1e-5, with_silu=True, int
     if _on_tpu() and not interpret and c % 128 == 0 and _pick_tile(s, c) is not None:
         y = group_norm_fused(x.reshape(n, s, c), scale, bias, num_groups, eps, with_silu)
         return y.reshape(orig_shape)
-    # XLA fallback, fp32 math
-    xf = x.astype(jnp.float32).reshape(n, s, num_groups, c // num_groups)
+    # XLA fallback. Stats always accumulate in fp32; the elementwise
+    # normalize runs in fp32 by default (reference parity) or bf16 when
+    # VIEWCRAFTER_GN_BF16=1 (halves GN HBM traffic; ~1e-3 rel activation error)
+    import os
+
+    elem_dtype = jnp.bfloat16 if os.environ.get("VIEWCRAFTER_GN_BF16") == "1" else jnp.float32
+    xs = x.reshape(n, s, num_groups, c // num_groups)
+    xf = xs.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(n, s, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (xs.astype(elem_dtype) - mean.astype(elem_dtype)) * inv.astype(elem_dtype)
+    y = y.reshape(n, s, c) * scale.astype(elem_dtype) + bias.astype(elem_dtype)
     if with_silu:
-        y = y * jax.nn.sigmoid(y)
+        y = y * jax.nn.sigmoid(y.astype(jnp.float32)).astype(elem_dtype)
     return y.astype(x.dtype).reshape(orig_shape)
 
 

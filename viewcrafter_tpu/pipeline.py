@@ -300,11 +300,12 @@ class ViewCrafterPipeline:
             cfg_img=opts.cfg_img if opts.multiple_cond_cfg else None,
         )
         self.rng, sub = jax.random.split(self.rng)
-        video = self.engine.jitted_generate(
+        # staged sampling: short device calls (bit-identical to monolithic)
+        video = self.engine.generate_staged(
             self.lvdm_params, videos, ids, uids, sub,
             steps=opts.ddim_steps, eta=opts.ddim_eta, guidance=guidance,
             fs=opts.frame_stride, timestep_spacing=opts.timestep_spacing,
-            cond_idx=cond_idx,
+            cond_idx=cond_idx, chunk=min(10, opts.ddim_steps),
         )
         return np.asarray(video[0])  # (T, H, W, 3) [-1,1]
 
