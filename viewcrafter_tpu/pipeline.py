@@ -139,24 +139,42 @@ class ViewCrafterPipeline:
         from viewcrafter_tpu.utils import checkpoint as ck
 
         rng_d, rng_l = jax.random.split(self.rng)
+        to_bf16 = self.opts.weights_dtype == "bf16"
+
+        def host_cast(tree):
+            if not to_bf16:
+                return tree
+            import ml_dtypes
+
+            return jax.tree.map(
+                lambda a: a.astype(ml_dtypes.bfloat16) if getattr(a, "dtype", None) == np.float32 else a,
+                tree,
+            )
+
         if self.opts.model_path and os.path.exists(self.opts.model_path):
             raw = ck.load_torch_file(self.opts.model_path)
             translated = ck.translate_dust3r_checkpoint(raw, self.dust3r_cfg)
-            ref = jax.jit(self.dust3r.init)(
-                rng_d, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
+            ref = jax.eval_shape(
+                self.dust3r.init, rng_d, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
             )
-            errs = ck.verify_tree_shapes(translated["params"], jax.tree.map(np.asarray, ref["params"]))
+            errs = ck.verify_tree_shapes(translated["params"], ref["params"])
             if errs:
                 raise ValueError("dust3r checkpoint mismatch:\n" + "\n".join(errs[:20]))
-            self.dust3r_params = jax.tree.map(jnp.asarray, translated)
+            self.dust3r_params = jax.tree.map(jnp.asarray, host_cast(translated))
         else:
-            self.dust3r_params = jax.jit(self.dust3r.init)(
+            from viewcrafter_tpu.models.lvdm import cast_params_bf16
+
+            init_d = self.dust3r.init
+            if to_bf16:
+                init_d = lambda *a: cast_params_bf16(self.dust3r.init(*a))
+            self.dust3r_params = jax.jit(init_d)(
                 rng_d, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
             )
 
         if self.opts.ckpt_path and os.path.exists(self.opts.ckpt_path):
             raw = ck.load_torch_file(self.opts.ckpt_path)
             trees = ck.translate_lvdm_checkpoint(raw, self.model_cfg)
+            trees = host_cast(trees)
             self.lvdm_params = LVDMParams(
                 unet=jax.tree.map(jnp.asarray, trees["unet"]),
                 vae=jax.tree.map(jnp.asarray, trees["vae"]),
@@ -165,12 +183,14 @@ class ViewCrafterPipeline:
                 resampler=jax.tree.map(jnp.asarray, trees["resampler"]),
             )
         else:
-            self.lvdm_params = jax.jit(self.engine.init_params)(rng_l)
-        if self.opts.weights_dtype == "bf16":
-            from viewcrafter_tpu.models.lvdm import cast_params_bf16
+            # fused init+cast: a separate cast would briefly hold fp32 AND
+            # bf16 weight copies (~15 GB) on a 16 GB chip
+            if self.opts.weights_dtype == "bf16":
+                from viewcrafter_tpu.models.lvdm import cast_params_bf16
 
-            self.lvdm_params = cast_params_bf16(self.lvdm_params)
-            self.dust3r_params = cast_params_bf16(self.dust3r_params)
+                self.lvdm_params = jax.jit(lambda r: cast_params_bf16(self.engine.init_params(r)))(rng_l)
+            else:
+                self.lvdm_params = jax.jit(self.engine.init_params)(rng_l)
 
     # ------------------------------------------------------------------
     # dust3r + alignment
@@ -238,20 +258,26 @@ class ViewCrafterPipeline:
         K = make_intrinsics(np.broadcast_to(np.asarray(focals).reshape(-1), (len(c2ws),)),
                             np.broadcast_to(np.asarray(pps).reshape(-1, 2), (len(c2ws), 2)))
         w2cs = np.asarray(inv_se3(jnp.asarray(c2ws)))
-        frames = np.asarray(
-            render_trajectory(
-                jnp.asarray(pts3d, jnp.float32), jnp.asarray(colors, jnp.float32),
-                jnp.asarray(w2cs), jnp.asarray(K), h, w,
-            )
-        )
+        pts_dev = jnp.asarray(pts3d, jnp.float32)
+        cols_dev = jnp.asarray(colors, jnp.float32)
+
+        def render_all(col):
+            # views in short host-side chunks: one big render call can exceed
+            # the serving environment's per-execution wall-time limit
+            out = []
+            chunk = 4
+            for s in range(0, len(c2ws), chunk):
+                part = render_trajectory(
+                    pts_dev, col, jnp.asarray(w2cs[s : s + chunk]),
+                    jnp.asarray(K[s : s + chunk]), h, w,
+                )
+                out.append(np.asarray(part))
+            return np.concatenate(out)
+
+        frames = render_all(cols_dev)
         masks = None
         if nbv:
-            ones = jnp.ones((len(pts3d), 1), jnp.float32)
-            masks = np.asarray(
-                render_trajectory(
-                    jnp.asarray(pts3d, jnp.float32), ones, jnp.asarray(w2cs), jnp.asarray(K), h, w
-                )
-            )
+            masks = render_all(jnp.ones((len(pts3d), 1), jnp.float32))
         return frames, masks
 
     def _selected_points(self, scene: AlignedScene, masks: Optional[np.ndarray], view_sel=None):

@@ -507,8 +507,10 @@ def verify_tree_shapes(translated: Dict[str, Any], reference: Dict[str, Any], pa
             else:
                 errs.extend(verify_tree_shapes(tv, rv, f"{path}/{k}"))
         else:
-            if tuple(np.shape(tv)) != tuple(np.shape(rv)):
-                errs.append(f"shape {path}/{k}: ckpt {np.shape(tv)} vs model {np.shape(rv)}")
+            t_shape = tuple(getattr(tv, "shape", np.shape(tv)))
+            r_shape = tuple(getattr(rv, "shape", np.shape(rv)))
+            if t_shape != r_shape:
+                errs.append(f"shape {path}/{k}: ckpt {t_shape} vs model {r_shape}")
     return errs
 
 
