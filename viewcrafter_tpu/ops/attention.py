@@ -28,6 +28,11 @@ import jax.numpy as jnp
 
 def _on_tpu() -> bool:
     try:
+        # an explicitly-configured default device wins (some sandboxes
+        # register a TPU platform while computation is placed on CPU)
+        d = jax.config.jax_default_device
+        if d is not None:
+            return getattr(d, "platform", None) == "tpu"
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False

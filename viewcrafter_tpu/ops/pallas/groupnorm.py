@@ -161,6 +161,9 @@ def _on_tpu() -> bool:
     if os.environ.get("VIEWCRAFTER_GN_FUSED", "0") != "1":
         return False
     try:
+        d = jax.config.jax_default_device
+        if d is not None:
+            return getattr(d, "platform", None) == "tpu"
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
