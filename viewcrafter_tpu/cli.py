@@ -119,6 +119,7 @@ def opts_from_args(args) -> "InferenceOptions":
         seed=args.seed,
         video_length=args.video_length,
         prompt=args.prompt,
+        text_input=bool(args.text_input),
         multiple_cond_cfg=args.multiple_cond_cfg,
         cfg_img=args.cfg_img,
         timestep_spacing=args.timestep_spacing,

@@ -80,6 +80,7 @@ class InferenceOptions:
     seed: int = 123
     video_length: int = 25
     prompt: str = "Rotating view of a scene"
+    text_input: bool = True  # False -> empty prompt (diffusion_utils.py:124)
     multiple_cond_cfg: bool = False
     cfg_img: Optional[float] = None
     timestep_spacing: str = "uniform_trailing"
@@ -315,25 +316,37 @@ class ViewCrafterPipeline:
 
     def run_diffusion(self, frames01: np.ndarray, cond_idx: int = 0) -> np.ndarray:
         """Guidance frames [0,1] (T, H, W, 3) -> generated video [-1,1]
-        (viewcrafter.py:93-106 + image_guided_synthesis)."""
+        (viewcrafter.py:93-106 + image_guided_synthesis). With n_samples > 1,
+        extra variants are saved as diffusion_sample{i}.mp4 and sample 0 is
+        returned (the reference also returns variant 0,
+        diffusion_utils.py:171-201)."""
         opts = self.opts
         videos = jnp.asarray(frames01 * 2.0 - 1.0)[None]  # (1, T, H, W, 3)
-        ids = jnp.asarray(self.engine.prompt_ids(opts.prompt, 1))
+        prompt = opts.prompt if getattr(opts, "text_input", True) else ""
+        ids = jnp.asarray(self.engine.prompt_ids(prompt, 1))
         uids = jnp.asarray(self.engine.prompt_ids("", 1))
         guidance = GuidanceConfig(
             scale=opts.unconditional_guidance_scale,
             rescale=opts.guidance_rescale,
             cfg_img=opts.cfg_img if opts.multiple_cond_cfg else None,
         )
-        self.rng, sub = jax.random.split(self.rng)
-        # staged sampling: short device calls (bit-identical to monolithic)
-        video = self.engine.generate_staged(
-            self.lvdm_params, videos, ids, uids, sub,
-            steps=opts.ddim_steps, eta=opts.ddim_eta, guidance=guidance,
-            fs=opts.frame_stride, timestep_spacing=opts.timestep_spacing,
-            cond_idx=cond_idx, chunk=min(10, opts.ddim_steps),
-        )
-        return np.asarray(video[0])  # (T, H, W, 3) [-1,1]
+        results = []
+        for si in range(max(1, opts.n_samples)):
+            self.rng, sub = jax.random.split(self.rng)
+            # staged sampling: short device calls (bit-identical to monolithic)
+            video = self.engine.generate_staged(
+                self.lvdm_params, videos, ids, uids, sub,
+                steps=opts.ddim_steps, eta=opts.ddim_eta, guidance=guidance,
+                fs=opts.frame_stride, timestep_spacing=opts.timestep_spacing,
+                cond_idx=cond_idx, chunk=min(10, opts.ddim_steps),
+            )
+            results.append(np.asarray(video[0]))
+            if si > 0:
+                vio.save_video(
+                    (results[-1] + 1.0) / 2.0,
+                    os.path.join(opts.save_dir, f"diffusion_sample{si}.mp4"),
+                )
+        return results[0]  # (T, H, W, 3) [-1,1]
 
     # ------------------------------------------------------------------
     # shared mode plumbing
