@@ -170,3 +170,73 @@ def test_iterative_ref_mode(tmp_path_factory):
     for r in results:
         assert r.shape == (4, 32, 64, 3)
     assert os.path.exists(os.path.join(opts.save_dir, "pcd1.ply"))
+
+
+def test_multicond_cfg_mode(tiny_pipeline):
+    """3-branch CFG (text + image guidance scales) through the full pipeline."""
+    p = tiny_pipeline
+    p.opts.multiple_cond_cfg = True
+    p.opts.cfg_img = 1.5
+    try:
+        result = p.run()
+        assert result.shape == (4, 32, 64, 3)
+        assert np.isfinite(result).all()
+    finally:
+        p.opts.multiple_cond_cfg = False
+        p.opts.cfg_img = None
+
+
+def test_nbv_mode(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("vc_nbv")
+    img = os.path.join(tmp, "scene.png")
+    make_test_image(img)
+    opts = InferenceOptions(
+        image_dir=img,
+        out_dir=str(tmp / "out"),
+        exp_name="n",
+        mode="single_view_nbv",
+        model="viewcrafter_tiny",
+        ddim_steps=2,
+        video_length=4,
+        dust3r_size=64,
+        niter=5,
+        batch_size=2,
+        d_theta=[15.0],
+        d_phi=[20.0],
+        d_r=[-0.1],
+    )
+    p = ViewCrafterPipeline(opts, dust3r_cfg=TINY_DUST3R)
+    results = p.run()
+    assert len(results) == 3  # fixed 3 NBV iterations (viewcrafter.py:361)
+    for r in results:
+        assert r.shape == (4, 32, 64, 3)
+    # candidate-mask artifacts from the NBV selection
+    files = os.listdir(opts.save_dir)
+    assert any(f.startswith("candidate_mask") for f in files), files
+
+
+def test_iterative_1drc_mode(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("vc_1drc")
+    img = os.path.join(tmp, "scene.png")
+    make_test_image(img)
+    opts = InferenceOptions(
+        image_dir=img,
+        out_dir=str(tmp / "out"),
+        exp_name="d",
+        mode="single_view_1drc_iterative",
+        model="viewcrafter_tiny",
+        ddim_steps=2,
+        video_length=4,
+        dust3r_size=64,
+        niter=5,
+        batch_size=2,
+        d_theta=[5.0, 6.0],
+        d_phi=[10.0, 12.0],
+        d_r=[-0.1, -0.1],
+        d_x=[0.0, 0.0],
+        d_y=[0.0, 0.0],
+    )
+    p = ViewCrafterPipeline(opts, dust3r_cfg=TINY_DUST3R)
+    results = p.run()
+    assert len(results) == 2
+    assert all(r.shape == (4, 32, 64, 3) for r in results)

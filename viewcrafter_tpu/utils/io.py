@@ -147,7 +147,10 @@ def save_video(frames: np.ndarray, path: str, fps: int = 8) -> str:
 
 def save_image(img: np.ndarray, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    Image.fromarray(to_uint8(img)).save(path)
+    arr = to_uint8(img)
+    if arr.ndim == 3 and arr.shape[-1] == 1:  # single-channel masks
+        arr = arr[..., 0]
+    Image.fromarray(arr).save(path)
 
 
 def save_pointcloud_ply(points: np.ndarray, colors: np.ndarray, path: str) -> None:
