@@ -117,10 +117,13 @@ class VideoDiffusionEngine:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _frame_chunk(t: int, max_chunk: int = 5) -> int:
-        """Largest divisor of t <= max_chunk (frames per VAE call). Chunked
-        frames amortize launch overhead ~chunk-x over strictly per-frame work
-        (the reference's perframe_ae) while keeping peak memory bounded."""
+    def _frame_chunk(t: int, max_chunk: int = 1) -> int:
+        """Frames per VAE call (largest divisor of t <= max_chunk).
+
+        Measured on v5e at 576x1024: chunk=5 is 2.3x SLOWER than per-frame
+        (decode 25f: 3.05 s vs 1.33 s — larger batches degrade the conv
+        tiling / spill VMEM at full res), so the default stays per-frame,
+        which also matches the reference's perframe_ae memory behavior."""
         best = 1
         for c in range(1, max_chunk + 1):
             if t % c == 0:
