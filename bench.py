@@ -73,7 +73,17 @@ def main():
         # early through the experimental axon tunnel, a D2H read cannot
         return float(jnp.sum(out[0, 0, 0, 0]))
 
-    run(0)  # compile
+    # the serving TPU worker occasionally restarts (~10 min); retry the
+    # warm-up so a transient doesn't void the whole benchmark
+    for attempt in range(3):
+        try:
+            run(0)  # compile
+            break
+        except Exception as e:  # pragma: no cover
+            if attempt == 2:
+                raise
+            print(f"# warm-up failed ({type(e).__name__}); retrying in 300s", file=sys.stderr)
+            time.sleep(300)
     times = []
     for i in range(reps):
         t0 = time.time()
