@@ -63,11 +63,18 @@ def main():
     # sampling runs in windows of `chunk` steps: the serving environment kills
     # single device executions beyond ~1 minute (x stays on device throughout)
     chunk = int(os.environ.get("VIEWCRAFTER_BENCH_CHUNK", "10"))
+    # attention-broadcast interval (1 = exact sampling; >1 = PAB reuse);
+    # PAB_KINDS restricts which attention families are cached (memory knob)
+    pab = int(os.environ.get("VIEWCRAFTER_BENCH_PAB", "1"))
+    pab_kinds = tuple(
+        os.environ.get("VIEWCRAFTER_BENCH_PAB_KINDS", "spatial,cross,temporal").split(",")
+    )
 
     def run(seed):
         out = eng.generate_staged(
             params, frames, ids, uids, jax.random.PRNGKey(seed), steps=steps,
-            guidance=guidance, chunk=chunk,
+            guidance=guidance, chunk=chunk, attn_reuse_interval=pab,
+            attn_reuse_kinds=pab_kinds,
         )
         # force completion via a host transfer: block_until_ready can return
         # early through the experimental axon tunnel, a D2H read cannot

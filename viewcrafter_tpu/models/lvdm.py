@@ -219,7 +219,7 @@ class VideoDiffusionEngine:
             params, guidance_frames, cond_idx, token_ids, uncond_token_ids, guidance
         )  # (K, B, L, C)
         fs_val = float(fs if fs is not None else cfg.unet.default_fs)
-        denoise_fn = self._denoise_fn(params, z_cond, contexts, fs_val, guidance)
+        denoise_fn, _, _ = self._denoise_fn(params, z_cond, contexts, fs_val, guidance)
 
         h, w = z_cond.shape[2:4]
         x_T = jax.random.normal(rng_noise, (b, t, h, w, cfg.vae.z_channels), jnp.float32)
@@ -238,30 +238,69 @@ class VideoDiffusionEngine:
     # staged generation: several short device calls instead of one long one
     # ------------------------------------------------------------------
 
-    def _denoise_fn(self, params, z_cond, contexts, fs_val, guidance: GuidanceConfig):
+    def _denoise_fn(self, params, z_cond, contexts, fs_val, guidance: GuidanceConfig,
+                    cache_kinds=("spatial", "cross", "temporal")):
+        """Returns (denoise, denoise_full, denoise_reuse):
+          denoise(x_k, t) -> v                          (baseline)
+          denoise_full(x_k, t) -> (v, attention cache)   (PAB collect)
+          denoise_reuse(x_k, t, cache) -> v              (PAB broadcast)
+        """
         k = guidance.num_branches
         b = z_cond.shape[0]
         ctx_flat = contexts.reshape((k * b,) + contexts.shape[2:])
         z_cond_k = jnp.tile(z_cond, (k, 1, 1, 1, 1))
         fs_batch = jnp.full((k * b,), fs_val, jnp.float32)
         if guidance.sequential and k > 1:
-            def denoise_fn(x_k, t_batch):
-                shp = x_k.shape[1:]
-                xs = x_k.reshape((k, b) + shp)
-                ts = t_batch.reshape(k, b)
+            def make(apply_kwargs, with_cache_arg=False):
+                def denoise(x_k, t_batch, cache=None):
+                    shp = x_k.shape[1:]
+                    xs = x_k.reshape((k, b) + shp)
+                    ts = t_batch.reshape(k, b)
 
-                def one(args):
-                    x, t_b, ctx, fs_b = args
-                    x_in = jnp.concatenate([x, z_cond], axis=-1)
-                    return self.unet.apply(params.unet, x_in, t_b, ctx, fs=fs_b)
+                    def one(args):
+                        if with_cache_arg:
+                            x, t_b, ctx, fs_b, cache_b = args
+                            kw = dict(apply_kwargs, attn_cache=cache_b)
+                        else:
+                            x, t_b, ctx, fs_b = args
+                            kw = apply_kwargs
+                        x_in = jnp.concatenate([x, z_cond], axis=-1)
+                        return self.unet.apply(params.unet, x_in, t_b, ctx, fs=fs_b, **kw)
 
-                out = jax.lax.map(one, (xs, ts, contexts, fs_batch.reshape(k, b)))
-                return out.reshape((k * b,) + out.shape[2:])
+                    ops = (xs, ts, contexts, fs_batch.reshape(k, b))
+                    if with_cache_arg:
+                        ops = ops + (cache,)
+                    out = jax.lax.map(one, ops)
+                    if apply_kwargs.get("collect_cache"):
+                        v, cache_out = out
+                        return v.reshape((k * b,) + v.shape[2:]), cache_out
+                    return out.reshape((k * b,) + out.shape[2:])
+
+                return denoise
+
+            denoise = make({})
+            denoise_full = make({"collect_cache": True, "cache_kinds": cache_kinds})
+            denoise_reuse = make({"cache_kinds": cache_kinds}, with_cache_arg=True)
         else:
-            def denoise_fn(x_k, t_batch):
+            def denoise(x_k, t_batch):
                 x_in = jnp.concatenate([x_k, z_cond_k], axis=-1)
                 return self.unet.apply(params.unet, x_in, t_batch, ctx_flat, fs=fs_batch)
-        return denoise_fn
+
+            def denoise_full(x_k, t_batch):
+                x_in = jnp.concatenate([x_k, z_cond_k], axis=-1)
+                return self.unet.apply(
+                    params.unet, x_in, t_batch, ctx_flat, fs=fs_batch,
+                    collect_cache=True, cache_kinds=cache_kinds,
+                )
+
+            def denoise_reuse(x_k, t_batch, cache):
+                x_in = jnp.concatenate([x_k, z_cond_k], axis=-1)
+                return self.unet.apply(
+                    params.unet, x_in, t_batch, ctx_flat, fs=fs_batch,
+                    attn_cache=cache, cache_kinds=cache_kinds,
+                )
+
+        return denoise, denoise_full, denoise_reuse
 
     def generate_staged(
         self,
@@ -277,21 +316,30 @@ class VideoDiffusionEngine:
         timestep_spacing: str = "uniform_trailing",
         cond_idx: int = 0,
         chunk: int = 10,
+        attn_reuse_interval: int = 1,
+        attn_reuse_kinds: tuple = ("spatial", "cross", "temporal"),
     ) -> jnp.ndarray:
         """Same math as `generate`, split into prepare / N sampling windows /
         decode device programs. x stays on device between calls; per-call wall
         time stays bounded (single executions beyond ~1 min can trip serving
         watchdogs). Identical noise schedule and rng stream as the monolithic
-        path."""
-        from viewcrafter_tpu.sampling.ddim import ddim_sample_window
+        path.
+
+        attn_reuse_interval > 1 enables Pyramid-Attention-Broadcast-style
+        reuse: every window of that many steps computes attention once and
+        broadcasts the outputs to the remaining steps (arXiv:2408.12588;
+        interval 1 == exact sampling)."""
+        from viewcrafter_tpu.sampling.ddim import ddim_sample_window, ddim_sample_window_pab
 
         cfg = self.cfg
         b, t = guidance_frames.shape[:2]
         dd = DDIMSchedule.create(self.schedule, steps, eta=eta, timestep_spacing=timestep_spacing)
         fs_val = float(fs if fs is not None else cfg.unet.default_fs)
 
+        if attn_reuse_interval > 1:
+            chunk = attn_reuse_interval
         key = ("staged", steps, eta, guidance, fs_val, timestep_spacing, cond_idx, chunk,
-               tuple(guidance_frames.shape))
+               attn_reuse_interval, attn_reuse_kinds, tuple(guidance_frames.shape))
         if not hasattr(self, "_staged_cache"):
             self._staged_cache = {}
         progs = self._staged_cache.get(key)
@@ -305,7 +353,13 @@ class VideoDiffusionEngine:
                 return x_T, z_cond, contexts, rng_sample
 
             def window(params, x, z_cond, contexts, rng_sample, start, num):
-                denoise_fn = self._denoise_fn(params, z_cond, contexts, fs_val, guidance)
+                denoise_fn, d_full, d_reuse = self._denoise_fn(
+                    params, z_cond, contexts, fs_val, guidance, cache_kinds=attn_reuse_kinds
+                )
+                if attn_reuse_interval > 1:
+                    return ddim_sample_window_pab(
+                        d_full, d_reuse, x, dd, rng_sample, start, num, guidance
+                    )
                 return ddim_sample_window(denoise_fn, x, dd, rng_sample, start, num, guidance)
 
             def decode(params, x):

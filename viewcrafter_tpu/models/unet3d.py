@@ -89,6 +89,39 @@ class CrossAttention(nn.Module):
         return Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 
+class AttnCacheCtx:
+    """Attention-output caching (Pyramid-Attention-Broadcast-style reuse,
+    arXiv:2408.12588): attention deltas drift slowly across adjacent DDIM
+    steps, so a step may REUSE the previous step's attention outputs instead
+    of recomputing them.
+
+    Statically-gated plumbing: `reads` is a dict of site-name -> cached array
+    consumed instead of computing that attention; `writes` collects this
+    pass's outputs. Both None -> exactly the baseline graph (no cond, no
+    overhead). The DDIM driver alternates compiled full/reuse programs
+    per the broadcast cadence (see models/lvdm.py round-2 roadmap)."""
+
+    def __init__(self, reads=None, collect=False, spatial=True, cross=True, temporal=True):
+        self.reads = reads or {}
+        self.writes = {} if collect else None
+        self.spatial = spatial  # cache spatial self-attention sites
+        self.cross = cross  # cache cross-attention sites
+        self.temporal = temporal  # cache temporal self-attention sites
+
+    def site(self, kind: str, name: str, compute):
+        enabled = getattr(self, kind)
+        if enabled and name in self.reads:
+            out = self.reads[name]
+        else:
+            out = compute()
+        if self.writes is not None and enabled:
+            self.writes[name] = out
+        return out
+
+
+_NO_CACHE = AttnCacheCtx()
+
+
 class TransformerBlock(nn.Module):
     """norm->self-attn, norm->cross-attn, norm->GEGLU-FF, each residual
     (attention.py:212-246)."""
@@ -102,20 +135,25 @@ class TransformerBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, context=None, mask=None):
-        x = x + CrossAttention(
+    def __call__(self, x, context=None, mask=None, cache=_NO_CACHE, site=""):
+        attn1 = CrossAttention(
             heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
             attn_impl=self.self_attn_impl, dtype=self.dtype, name="attn1",
-        )(LayerNormF32(name="norm1")(x), mask=mask)
+        )
+        x = x + cache.site("spatial", site + "/attn1",
+                           lambda: attn1(LayerNormF32(name="norm1")(x), mask=mask))
         # temporal blocks are self-attention-only: attn2 gets no context and
         # degrades to self-attention (attention.py:387-390)
-        x = x + CrossAttention(
+        attn2 = CrossAttention(
             heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
             context_dim=self.context_dim,
             image_cross_attention=self.image_cross_attention and context is not None,
             attn_impl="xla" if context is not None else self.self_attn_impl,
             dtype=self.dtype, name="attn2",
-        )(LayerNormF32(name="norm2")(x), context=context, mask=mask)
+        )
+        kind2 = "cross" if context is not None else "spatial"
+        x = x + cache.site(kind2, site + "/attn2",
+                           lambda: attn2(LayerNormF32(name="norm2")(x), context=context, mask=mask))
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNormF32(name="norm3")(x))
         return x
 
@@ -133,7 +171,7 @@ class SpatialTransformer(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, cache=_NO_CACHE, site=""):
         # x: (BT, H, W, C); context: (BT, L, context_dim)
         bt, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
@@ -145,7 +183,7 @@ class SpatialTransformer(nn.Module):
                 context_dim=self.context_dim,
                 image_cross_attention=self.image_cross_attention,
                 dtype=self.dtype, name=f"block_{i}",
-            )(h, context=context)
+            )(h, context=context, cache=cache, site=f"{site}/block_{i}")
         h = Dense(self.channels, dtype=self.dtype, zero_init=True, name="proj_out")(h)
         return x + h.reshape(bt, hh, ww, c)
 
@@ -194,15 +232,19 @@ class TemporalTransformerBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, mask=None):
-        x = x + TemporalSelfAttention(
+    def __call__(self, x, mask=None, cache=_NO_CACHE, site=""):
+        attn1 = TemporalSelfAttention(
             heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
             dtype=self.dtype, name="attn1",
-        )(LayerNormF32(name="norm1")(x), mask=mask)
-        x = x + TemporalSelfAttention(
+        )
+        x = x + cache.site("temporal", site + "/attn1",
+                           lambda: attn1(LayerNormF32(name="norm1")(x), mask=mask))
+        attn2 = TemporalSelfAttention(
             heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
             dtype=self.dtype, name="attn2",
-        )(LayerNormF32(name="norm2")(x), mask=mask)
+        )
+        x = x + cache.site("temporal", site + "/attn2",
+                           lambda: attn2(LayerNormF32(name="norm2")(x), mask=mask))
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNormF32(name="norm3")(x))
         return x
 
@@ -220,7 +262,7 @@ class TemporalTransformer(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, cache=_NO_CACHE, site=""):
         # x: (B, T, H, W, C)
         b, t, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
@@ -235,7 +277,7 @@ class TemporalTransformer(nn.Module):
             h = TemporalTransformerBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
                 dtype=self.dtype, name=f"block_{i}",
-            )(h, mask=mask)
+            )(h, mask=mask, cache=cache, site=f"{site}/block_{i}")
         h = Dense(self.channels, dtype=self.dtype, zero_init=True, name="proj_out")(h)
         return x + h.reshape(b, t, hh, ww, c)
 
@@ -319,7 +361,18 @@ class UNet3D(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, timesteps, context, fs=None):
+    def __call__(self, x, timesteps, context, fs=None, attn_cache=None,
+                 collect_cache=False, cache_kinds=("spatial", "cross", "temporal")):
+        """attn_cache/collect_cache: PAB-style attention-output reuse (see
+        AttnCacheCtx). attn_cache is a dict of site->array consumed INSTEAD of
+        computing those attentions; collect_cache=True additionally returns
+        {site: output} for the caller to feed to the next step. Both default
+        off -> baseline graph."""
+        cache = AttnCacheCtx(
+            reads=attn_cache, collect=collect_cache,
+            spatial="spatial" in cache_kinds, cross="cross" in cache_kinds,
+            temporal="temporal" in cache_kinds,
+        ) if (attn_cache is not None or collect_cache) else _NO_CACHE
         cfg = self.cfg
         b, t, hh, ww, _ = x.shape
         mc = cfg.model_channels
@@ -366,17 +419,17 @@ class UNet3D(nn.Module):
                 dtype=self.dtype, name=name,
             )
 
-        def run_temporal(mod, h):
+        def run_temporal(mod, h, site):
             bt, sh, sw, c = h.shape
             hv = h.reshape(b, t, sh, sw, c)
-            return mod(hv).reshape(bt, sh, sw, c)
+            return mod(hv, cache=cache, site=site).reshape(bt, sh, sw, c)
 
         # --- input blocks ----------------------------------------------------
         hs = []
         h = Conv(mc, (3, 3), dtype=self.dtype, name="in_conv")(h)
         if cfg.addition_attention:
             # init temporal attention: fixed 8 heads (openaimodel3d.py:389-399)
-            h = run_temporal(temporal(mc, "init_attn", heads=8), h)
+            h = run_temporal(temporal(mc, "init_attn", heads=8), h, "init_attn")
         hs.append(h)
 
         ch = mc
@@ -387,9 +440,11 @@ class UNet3D(nn.Module):
                              dtype=self.dtype, name=f"down_{level}_{j}_res")(h, emb, b)
                 ch = mult * mc
                 if ds in cfg.attention_resolutions:
-                    h = spatial(ch, ds, f"down_{level}_{j}_spatial")(h, ctx)
+                    h = spatial(ch, ds, f"down_{level}_{j}_spatial")(
+                        h, ctx, cache=cache, site=f"down_{level}_{j}_spatial")
                     if cfg.temporal_attention:
-                        h = run_temporal(temporal(ch, f"down_{level}_{j}_temporal"), h)
+                        h = run_temporal(temporal(ch, f"down_{level}_{j}_temporal"), h,
+                                         f"down_{level}_{j}_temporal")
                 hs.append(h)
             if level != len(cfg.channel_mult) - 1:
                 h = Downsample(ch, dtype=self.dtype, name=f"down_{level}_downsample")(h)
@@ -398,9 +453,9 @@ class UNet3D(nn.Module):
 
         # --- middle ----------------------------------------------------------
         h = ResBlock(ch, use_temporal_conv=cfg.temporal_conv, dtype=self.dtype, name="mid_res1")(h, emb, b)
-        h = spatial(ch, ds, "mid_spatial")(h, ctx)
+        h = spatial(ch, ds, "mid_spatial")(h, ctx, cache=cache, site="mid_spatial")
         if cfg.temporal_attention:
-            h = run_temporal(temporal(ch, "mid_temporal"), h)
+            h = run_temporal(temporal(ch, "mid_temporal"), h, "mid_temporal")
         h = ResBlock(ch, use_temporal_conv=cfg.temporal_conv, dtype=self.dtype, name="mid_res2")(h, emb, b)
 
         # --- output blocks ---------------------------------------------------
@@ -412,13 +467,18 @@ class UNet3D(nn.Module):
                              dtype=self.dtype, name=f"up_{level}_{j}_res")(h, emb, b)
                 ch = mult * mc
                 if ds in cfg.attention_resolutions:
-                    h = spatial(ch, ds, f"up_{level}_{j}_spatial")(h, ctx)
+                    h = spatial(ch, ds, f"up_{level}_{j}_spatial")(
+                        h, ctx, cache=cache, site=f"up_{level}_{j}_spatial")
                     if cfg.temporal_attention:
-                        h = run_temporal(temporal(ch, f"up_{level}_{j}_temporal"), h)
+                        h = run_temporal(temporal(ch, f"up_{level}_{j}_temporal"), h,
+                                         f"up_{level}_{j}_temporal")
                 if level and j == cfg.num_res_blocks:
                     h = Upsample(ch, dtype=self.dtype, name=f"up_{level}_upsample")(h)
                     ds //= 2
 
         h = GroupNorm32(32, with_silu=True, name="out_norm")(h)
         h = Conv(cfg.out_channels, (3, 3), dtype=self.dtype, zero_init=True, name="out_conv")(h)
-        return h.reshape(b, t, hh, ww, cfg.out_channels).astype(jnp.float32)
+        y = h.reshape(b, t, hh, ww, cfg.out_channels).astype(jnp.float32)
+        if collect_cache:
+            return y, cache.writes
+        return y

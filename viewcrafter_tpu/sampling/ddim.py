@@ -72,19 +72,13 @@ def make_ddim_step(
     scale_arr = jnp.asarray(schedule.scale_arr) if use_rescale else None
     scale_arr_prev = jnp.asarray(schedule.scale_arr_prev) if use_rescale else None
 
-    def step(i, carry):
-        x = carry
-        t = ts[i]
-        t_batch = jnp.full((k * b,), t, dtype=jnp.float32)
-        v_all = denoise_fn(jnp.tile(x, (k,) + (1,) * (x.ndim - 1)), t_batch)
+    def combine_cfg(v_all):
         v_all = v_all.astype(jnp.float32)
         if k == 1:
-            v = v_all
-        elif k == 2:
+            return v_all
+        if k == 2:
             v_uncond, v_cond = jnp.split(v_all, 2, axis=0)
             v = v_uncond + guidance.scale * (v_cond - v_uncond)
-            if guidance.rescale > 0:
-                v = rescale_noise_cfg(v, v_cond, guidance.rescale)
         else:
             v_uncond, v_uncond_img, v_cond = jnp.split(v_all, 3, axis=0)
             v = (
@@ -92,23 +86,38 @@ def make_ddim_step(
                 + guidance.cfg_img * (v_uncond_img - v_uncond)
                 + guidance.scale * (v_cond - v_uncond_img)
             )
-            if guidance.rescale > 0:
-                v = rescale_noise_cfg(v, v_cond, guidance.rescale)
+        if guidance.rescale > 0:
+            v = rescale_noise_cfg(v, v_cond, guidance.rescale)
+        return v
 
+    def update(i, x, v):
         sqrt_a = jnp.sqrt(alphas[i])
         sqrt_1ma = sqrt_1m_alphas[i]
         e_t = predict_eps_from_z_and_v(x, v, sqrt_a, sqrt_1ma)
         pred_x0 = predict_start_from_z_and_v(x, v, sqrt_a, sqrt_1ma)
         if use_rescale:
             pred_x0 = pred_x0 * (scale_arr_prev[i] / scale_arr[i])
-
         a_prev = alphas_prev[i]
         sigma = sigmas[i]
         dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma**2, 0.0)) * e_t
         noise = sigma * jax.random.normal(jax.random.fold_in(rng, i), x.shape, jnp.float32)
-        x = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise * temperature
-        return x
+        return jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise * temperature
 
+    def tile_k(x):
+        return jnp.tile(x, (k,) + (1,) * (x.ndim - 1))
+
+    def t_batch_at(i):
+        return jnp.full((k * b,), ts[i], dtype=jnp.float32)
+
+    def step(i, carry):
+        x = carry
+        v_all = denoise_fn(tile_k(x), t_batch_at(i))
+        return update(i, x, combine_cfg(v_all))
+
+    step.combine_cfg = combine_cfg
+    step.update = update
+    step.tile_k = tile_k
+    step.t_batch_at = t_batch_at
     return step
 
 
@@ -152,3 +161,36 @@ def ddim_sample_window(
     return jax.lax.fori_loop(
         0, num_steps, lambda j, xx: step(start + j, xx), x.astype(jnp.float32)
     )
+
+
+def ddim_sample_window_pab(
+    denoise_full,
+    denoise_reuse,
+    x: jnp.ndarray,
+    schedule: DDIMSchedule,
+    rng: jax.Array,
+    start: jnp.ndarray,
+    num_steps: int,
+    guidance: GuidanceConfig = GuidanceConfig(),
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Attention-broadcast window (PAB, arXiv:2408.12588): the FIRST step
+    computes attention fully and collects per-site outputs; the remaining
+    num_steps-1 steps reuse them (attention outputs drift slowly between
+    adjacent diffusion steps).
+
+    denoise_full(x_k, t) -> (v, cache); denoise_reuse(x_k, t, cache) -> v.
+    """
+    helpers = make_ddim_step(lambda *_: None, x.shape[0], schedule, rng, guidance, temperature)
+    x = x.astype(jnp.float32)
+    v_all, cache = denoise_full(helpers.tile_k(x), helpers.t_batch_at(start))
+    x = helpers.update(start, x, helpers.combine_cfg(v_all))
+    if num_steps == 1:
+        return x
+
+    def body(j, xx):
+        i = start + j
+        v_all = denoise_reuse(helpers.tile_k(xx), helpers.t_batch_at(i), cache)
+        return helpers.update(i, xx, helpers.combine_cfg(v_all))
+
+    return jax.lax.fori_loop(1, num_steps, body, x)
