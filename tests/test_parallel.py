@@ -19,10 +19,18 @@ def test_mesh_shapes():
 
 
 def test_dryrun_multichip_entrypoint():
-    """The driver-facing dry run: full train step over a real dp x sp mesh."""
+    """The driver-facing dry run (subprocess with its own virtual CPU mesh):
+    sharded train step + sharded staged-DDIM inference."""
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(len(jax.devices()))
+    ge.dryrun_multichip(8)
+
+
+def test_sharded_generation_matches_single_device():
+    """dp x sp sharded generate_staged == single-device output (in-process)."""
+    from viewcrafter_tpu._dryrun import inference_dryrun
+
+    inference_dryrun(make_mesh(8))
 
 
 def test_train_step_runs_and_descends():

@@ -1,0 +1,145 @@
+"""Multi-chip dry run (subprocess target).
+
+Run via ``python -m viewcrafter_tpu._dryrun N``. The caller
+(``__graft_entry__.dryrun_multichip``) prepares the environment
+(``JAX_PLATFORMS`` with cpu first, ``--xla_force_host_platform_device_count=N``)
+*before* this interpreter starts, because those flags must precede jax
+backend initialization. The sandbox additionally force-registers an
+experimental TPU platform via sitecustomize, so we also pin jax's default
+device to the first virtual CPU device (same trick as tests/conftest.py).
+
+Two sharded programs are validated on an n-device ("dp", "sp") mesh:
+
+  1. the full training step — batch over dp, video frames over sp; the
+     temporal UNet stages trigger XLA collectives over sp
+     (viewcrafter_tpu/training.py);
+  2. a dp x sp sharded staged DDIM *inference* run of the tiny preset —
+     the same `generate_staged` program the pipeline ships, with the
+     sample batch over dp and frames over sp (models/lvdm.py).
+
+The reference has no parallelism at inference (SURVEY §2.6: one CUDA
+device); both programs here are new TPU-native design, not ports.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _cpu_mesh(n_devices: int):
+    import jax
+
+    from viewcrafter_tpu.parallel.mesh import make_mesh
+
+    cpus = jax.local_devices(backend="cpu")
+    if len(cpus) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} virtual CPU devices, found {len(cpus)} — "
+            "was --xla_force_host_platform_device_count set before jax init?"
+        )
+    jax.config.update("jax_default_device", cpus[0])
+    return make_mesh(n_devices, devices=cpus)
+
+
+def train_dryrun(mesh) -> float:
+    """One sharded training step on tiny shapes; returns the (finite) loss."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from viewcrafter_tpu.config import get_model_config
+    from viewcrafter_tpu.models.unet3d import UNet3D
+    from viewcrafter_tpu.ops.schedule import DiffusionSchedule
+    from viewcrafter_tpu.parallel.mesh import replicate, shard_video_batch
+    from viewcrafter_tpu.training import create_train_state, make_train_step
+
+    cfg = get_model_config("viewcrafter_tiny")
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    b = dp
+    t = (max(cfg.video_length, sp) + sp - 1) // sp * sp
+
+    model = UNet3D(cfg=cfg.unet, dtype=jnp.float32)
+    sched = DiffusionSchedule.create(timesteps=cfg.diffusion.timesteps)
+    tx = optax.adamw(1e-4)
+    model_cfg = dataclasses.replace(cfg, video_length=t)
+    state = create_train_state(model, jax.random.PRNGKey(0), model_cfg, tx)
+    state = replicate(state, mesh)
+
+    h, w = cfg.diffusion.latent_size
+    ctx_len = cfg.clip_text.context_length + cfg.resampler.num_queries * (
+        cfg.resampler.video_length or 1
+    )
+    batch = {
+        "latents": shard_video_batch(jnp.ones((b, t, h, w, 4)), mesh),
+        "cond_latents": shard_video_batch(jnp.ones((b, t, h, w, 4)), mesh),
+        "context": jnp.zeros((b, ctx_len, cfg.unet.context_dim)),
+        "fs": jnp.full((b,), 10.0),
+    }
+    step = make_train_step(model, sched, tx, mesh=mesh)
+    with mesh:
+        state, loss = step(state, batch, jax.random.PRNGKey(1))
+    loss = float(jax.block_until_ready(loss))
+    assert jnp.isfinite(loss), f"non-finite training loss {loss}"
+    return loss
+
+
+def inference_dryrun(mesh) -> None:
+    """One sharded staged-DDIM generation (the shipped inference program)
+    over the mesh, checked finite AND bit-equal to the single-device run."""
+    import dataclasses
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from viewcrafter_tpu.config import get_model_config
+    from viewcrafter_tpu.models.lvdm import VideoDiffusionEngine
+    from viewcrafter_tpu.sampling.ddim import GuidanceConfig
+
+    os.environ.setdefault("VIEWCRAFTER_ATTN_IMPL", "xla")  # no Pallas on CPU
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    cfg = get_model_config("viewcrafter_tiny")
+    t = (max(cfg.video_length, sp) + sp - 1) // sp * sp
+    cfg = dataclasses.replace(cfg, video_length=t)
+    engine = VideoDiffusionEngine(cfg, dtype=jnp.float32)
+    params = jax.jit(engine.init_params)(jax.random.PRNGKey(0))
+
+    b = dp  # one sample per dp slice (multi-sample generation rides dp)
+    frames = jnp.linspace(-1.0, 1.0, b * t * cfg.height * cfg.width * 3).reshape(
+        b, t, cfg.height, cfg.width, 3
+    )
+    ids = jnp.zeros((b, cfg.clip_text.context_length), jnp.int32)
+    rng = jax.random.PRNGKey(7)
+    kwargs = dict(
+        steps=2, guidance=GuidanceConfig(scale=7.5), fs=10, chunk=2
+    )
+    video = engine.generate_staged(params, frames, ids, ids, rng, mesh=mesh, **kwargs)
+    video = jax.block_until_ready(video)
+    assert video.shape == (b, t, cfg.height, cfg.width, 3), video.shape
+    assert bool(jnp.all(jnp.isfinite(video))), "non-finite sharded generation"
+    ref = engine.generate_staged(params, frames, ids, ids, rng, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(video), np.asarray(ref), atol=2e-5,
+        err_msg="sharded generation diverges from single-device",
+    )
+
+
+def main(n_devices: int) -> None:
+    import jax
+
+    # single-core box: persistent compile cache makes re-runs cheap
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    mesh = _cpu_mesh(n_devices)
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    loss = train_dryrun(mesh)
+    print(f"train step ok: dp={dp} sp={sp}, loss={loss:.4f}", flush=True)
+    inference_dryrun(mesh)
+    print(f"sharded inference ok: dp={dp} sp={sp} (matches single-device)", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

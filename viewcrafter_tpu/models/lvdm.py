@@ -318,6 +318,7 @@ class VideoDiffusionEngine:
         chunk: int = 10,
         attn_reuse_interval: int = 1,
         attn_reuse_kinds: tuple = ("spatial", "cross", "temporal"),
+        mesh=None,
     ) -> jnp.ndarray:
         """Same math as `generate`, split into prepare / N sampling windows /
         decode device programs. x stays on device between calls; per-call wall
@@ -328,7 +329,14 @@ class VideoDiffusionEngine:
         attn_reuse_interval > 1 enables Pyramid-Attention-Broadcast-style
         reuse: every window of that many steps computes attention once and
         broadcasts the outputs to the remaining steps (arXiv:2408.12588;
-        interval 1 == exact sampling)."""
+        interval 1 == exact sampling).
+
+        mesh: optional ("dp", "sp") jax.sharding.Mesh — shards the sample
+        batch over dp and video frames over sp (params replicated). The
+        reference has no inference parallelism (SURVEY §2.6); this is the
+        TPU-native scale-out path: independent DDIM chains per dp slice,
+        temporal-stage collectives over sp ride ICI. Requires B % dp == 0
+        and T % sp == 0."""
         from viewcrafter_tpu.sampling.ddim import ddim_sample_window, ddim_sample_window_pab
 
         cfg = self.cfg
@@ -336,10 +344,17 @@ class VideoDiffusionEngine:
         dd = DDIMSchedule.create(self.schedule, steps, eta=eta, timestep_spacing=timestep_spacing)
         fs_val = float(fs if fs is not None else cfg.unet.default_fs)
 
+        if mesh is not None:
+            dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+            if b % dp or t % sp:
+                raise ValueError(
+                    f"sharded generate needs batch {b} % dp {dp} == 0 and "
+                    f"frames {t} % sp {sp} == 0"
+                )
         if attn_reuse_interval > 1:
             chunk = attn_reuse_interval
         key = ("staged", steps, eta, guidance, fs_val, timestep_spacing, cond_idx, chunk,
-               attn_reuse_interval, attn_reuse_kinds, tuple(guidance_frames.shape))
+               attn_reuse_interval, attn_reuse_kinds, tuple(guidance_frames.shape), mesh)
         if not hasattr(self, "_staged_cache"):
             self._staged_cache = {}
         progs = self._staged_cache.get(key)
@@ -365,11 +380,33 @@ class VideoDiffusionEngine:
             def decode(params, x):
                 return jnp.clip(self.decode_latents(params.vae, x), -1.0, 1.0)
 
-            progs = (
-                jax.jit(prepare),
-                jax.jit(window, static_argnames=("num",)),
-                jax.jit(decode),
-            )
+            if mesh is None:
+                progs = (
+                    jax.jit(prepare),
+                    jax.jit(window, static_argnames=("num",)),
+                    jax.jit(decode),
+                )
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                repl = NamedSharding(mesh, P())
+                vid = NamedSharding(mesh, P("dp", "sp"))  # (B, T, ...) arrays
+                ctxs = NamedSharding(mesh, P(None, "dp"))  # (K, B, L, C)
+                ids_s = NamedSharding(mesh, P("dp"))  # (B, 77)
+                progs = (
+                    jax.jit(
+                        prepare,
+                        in_shardings=(repl, vid, ids_s, ids_s, repl),
+                        out_shardings=(vid, vid, ctxs, repl),
+                    ),
+                    jax.jit(
+                        window,
+                        static_argnames=("num",),
+                        in_shardings=(repl, vid, vid, ctxs, repl, repl),
+                        out_shardings=vid,
+                    ),
+                    jax.jit(decode, in_shardings=(repl, vid), out_shardings=vid),
+                )
             self._staged_cache[key] = progs
 
         prepare_fn, window_fn, decode_fn = progs
