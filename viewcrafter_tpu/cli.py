@@ -69,6 +69,18 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--guidance_rescale", type=float, default=0.7)
     p.add_argument("--perframe_ae", default=True)
     p.add_argument("--n_samples", type=int, default=1)
+    # TPU-native memory / perf knobs (no reference equivalent)
+    p.add_argument("--sequential_cfg", action="store_true", default=False,
+                   help="evaluate CFG branches sequentially (~halves activation HBM; "
+                        "needed for the 576x1024 flagship on one 16 GB v5e chip)")
+    p.add_argument("--attn_reuse_interval", type=int, default=1,
+                   help=">1 enables Pyramid-Attention-Broadcast reuse: attention is "
+                        "recomputed every N steps and broadcast in between "
+                        "(arXiv:2408.12588); 1 = exact sampling")
+    p.add_argument("--weights_dtype", type=str, default="bf16", choices=["bf16", "fp32"],
+                   help="inference weight storage dtype")
+    p.add_argument("--mesh_devices", type=int, default=0,
+                   help=">1: shard n_samples over a dp device mesh")
     # dust3r
     p.add_argument("--model_path", type=str,
                    default="./checkpoints/DUSt3R_ViTLarge_BaseDecoder_512_dpt.pth")
@@ -77,6 +89,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--niter", type=int, default=300)
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--min_conf_thr", type=float, default=3.0)
+    p.add_argument("--dust3r_size", type=int, default=512,
+                   help="dust3r input long-side resolution")
+    p.add_argument("--dust3r_model", type=str, default="dust3r_512",
+                   help="dust3r architecture preset: dust3r_512 | dust3r_tiny")
     return p
 
 
@@ -125,12 +141,18 @@ def opts_from_args(args) -> "InferenceOptions":
         timestep_spacing=args.timestep_spacing,
         guidance_rescale=args.guidance_rescale,
         n_samples=args.n_samples,
+        sequential_cfg=args.sequential_cfg,
+        attn_reuse_interval=args.attn_reuse_interval,
+        weights_dtype=args.weights_dtype,
+        mesh_devices=args.mesh_devices,
         model_path=args.model_path,
         batch_size=args.batch_size,
         niter=args.niter,
         lr=args.lr,
         schedule=args.schedule,
         min_conf_thr=args.min_conf_thr,
+        dust3r_size=args.dust3r_size,
+        dust3r_model=args.dust3r_model,
     )
 
 

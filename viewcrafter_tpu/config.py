@@ -149,6 +149,27 @@ class Dust3rConfig:
     conf_mode: str = "exp"  # conf = 1 + exp(x)
 
 
+DUST3R_REGISTRY = {
+    # the released DUSt3R_ViTLarge_BaseDecoder_512_dpt architecture
+    "dust3r_512": Dust3rConfig(),
+    # dev/test preset: tiny dims, same topology (used by tests and CLI smoke)
+    "dust3r_tiny": Dust3rConfig(
+        enc_embed_dim=64, enc_depth=2, enc_num_heads=2,
+        dec_embed_dim=32, dec_depth=4, dec_num_heads=2,
+        dpt_feature_dim=16, dpt_hidden_dims=(8, 8, 16, 32),
+    ),
+}
+
+
+def get_dust3r_config(name: str) -> Dust3rConfig:
+    try:
+        return DUST3R_REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown dust3r model {name!r}; available: {sorted(DUST3R_REGISTRY)}"
+        ) from None
+
+
 @dataclasses.dataclass(frozen=True)
 class AlignConfig:
     """Global point-cloud alignment (extern/dust3r/dust3r/cloud_opt)."""

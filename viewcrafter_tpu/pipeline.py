@@ -31,7 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from viewcrafter_tpu.align.global_align import AlignedScene, GlobalAligner, SceneGraph
-from viewcrafter_tpu.config import AlignConfig, Dust3rConfig, ModelConfig, get_model_config
+from viewcrafter_tpu.config import (
+    AlignConfig,
+    Dust3rConfig,
+    ModelConfig,
+    get_dust3r_config,
+    get_model_config,
+)
 from viewcrafter_tpu.geometry import trajectory as traj
 from viewcrafter_tpu.geometry.transforms import (
     inv_se3,
@@ -86,6 +92,10 @@ class InferenceOptions:
     timestep_spacing: str = "uniform_trailing"
     guidance_rescale: float = 0.7
     n_samples: int = 1
+    # memory / perf knobs (TPU-native; no reference equivalent)
+    sequential_cfg: bool = False  # evaluate CFG branches one at a time (~halves activation HBM)
+    attn_reuse_interval: int = 1  # >1: PAB attention reuse (arXiv:2408.12588); 1 = exact
+    mesh_devices: int = 0  # >1: shard n_samples over a dp mesh (multi-chip)
     # dust3r
     model_path: Optional[str] = None
     batch_size: int = 8  # pair-chunk size for batched dust3r inference
@@ -94,6 +104,7 @@ class InferenceOptions:
     schedule: str = "linear"
     min_conf_thr: float = 3.0
     dust3r_size: int = 512
+    dust3r_model: str = "dust3r_512"  # architecture preset (config.DUST3R_REGISTRY)
     weights_dtype: str = "bf16"  # inference weight storage; "fp32" to disable
 
     @property
@@ -113,7 +124,7 @@ class ViewCrafterPipeline:
                  dust3r_cfg: Optional[Dust3rConfig] = None):
         self.opts = opts
         self.model_cfg: ModelConfig = model_cfg or get_model_config(opts.model)
-        self.dust3r_cfg = dust3r_cfg or Dust3rConfig()
+        self.dust3r_cfg = dust3r_cfg or get_dust3r_config(opts.dust3r_model)
         self.align_cfg = AlignConfig(
             niter=opts.niter, lr=opts.lr, schedule=opts.schedule, min_conf_thr=opts.min_conf_thr
         )
@@ -122,6 +133,7 @@ class ViewCrafterPipeline:
         self.dust3r = Dust3rModel(cfg=self.dust3r_cfg)
         self.dust3r_params = None
         self.lvdm_params: Optional[LVDMParams] = None
+        self.loaded_real_ckpt = False  # True -> tokenizer fallback is an error
         self._dust3r_apply = jax.jit(self.dust3r.apply)
         if init_models:
             self.setup_models()
@@ -173,6 +185,7 @@ class ViewCrafterPipeline:
             )
 
         if self.opts.ckpt_path and os.path.exists(self.opts.ckpt_path):
+            self.loaded_real_ckpt = True
             raw = ck.load_torch_file(self.opts.ckpt_path)
             trees = ck.translate_lvdm_checkpoint(raw, self.model_cfg)
             trees = host_cast(trees)
@@ -323,30 +336,64 @@ class ViewCrafterPipeline:
         opts = self.opts
         videos = jnp.asarray(frames01 * 2.0 - 1.0)[None]  # (1, T, H, W, 3)
         prompt = opts.prompt if getattr(opts, "text_input", True) else ""
-        ids = jnp.asarray(self.engine.prompt_ids(prompt, 1))
-        uids = jnp.asarray(self.engine.prompt_ids("", 1))
+        # real checkpoints require real CLIP BPE ids — hash-fallback ids would
+        # silently corrupt the text conditioning (utils/tokenizer.py)
+        allow_fb = not getattr(self, "loaded_real_ckpt", False)
+        from viewcrafter_tpu.utils.tokenizer import tokenize
+
+        ids = jnp.asarray(tokenize([prompt], allow_fallback=allow_fb))
+        uids = jnp.asarray(tokenize([""], allow_fallback=allow_fb))
         guidance = GuidanceConfig(
             scale=opts.unconditional_guidance_scale,
             rescale=opts.guidance_rescale,
             cfg_img=opts.cfg_img if opts.multiple_cond_cfg else None,
+            sequential=opts.sequential_cfg,
         )
-        results = []
-        for si in range(max(1, opts.n_samples)):
+        gen_kwargs = dict(
+            steps=opts.ddim_steps, eta=opts.ddim_eta, guidance=guidance,
+            fs=opts.frame_stride, timestep_spacing=opts.timestep_spacing,
+            cond_idx=cond_idx, chunk=min(10, opts.ddim_steps),
+            attn_reuse_interval=opts.attn_reuse_interval,
+        )
+        n = max(1, opts.n_samples)
+        mesh = self._sample_mesh(n)
+        if mesh is not None:
+            # one sharded batch: independent DDIM chains ride the dp axis
             self.rng, sub = jax.random.split(self.rng)
-            # staged sampling: short device calls (bit-identical to monolithic)
             video = self.engine.generate_staged(
-                self.lvdm_params, videos, ids, uids, sub,
-                steps=opts.ddim_steps, eta=opts.ddim_eta, guidance=guidance,
-                fs=opts.frame_stride, timestep_spacing=opts.timestep_spacing,
-                cond_idx=cond_idx, chunk=min(10, opts.ddim_steps),
+                self.lvdm_params,
+                jnp.tile(videos, (n, 1, 1, 1, 1)),
+                jnp.tile(ids, (n, 1)), jnp.tile(uids, (n, 1)),
+                sub, mesh=mesh, **gen_kwargs,
             )
-            results.append(np.asarray(video[0]))
-            if si > 0:
-                vio.save_video(
-                    (results[-1] + 1.0) / 2.0,
-                    os.path.join(opts.save_dir, f"diffusion_sample{si}.mp4"),
+            results = [np.asarray(v) for v in video]
+        else:
+            results = []
+            for si in range(n):
+                self.rng, sub = jax.random.split(self.rng)
+                # staged sampling: short device calls (bit-identical to monolithic)
+                video = self.engine.generate_staged(
+                    self.lvdm_params, videos, ids, uids, sub, **gen_kwargs,
                 )
+                results.append(np.asarray(video[0]))
+        for si in range(1, n):
+            vio.save_video(
+                (results[si] + 1.0) / 2.0,
+                os.path.join(opts.save_dir, f"diffusion_sample{si}.mp4"),
+            )
         return results[0]  # (T, H, W, 3) [-1,1]
+
+    def _sample_mesh(self, n_samples: int):
+        """A dp-only mesh for multi-sample generation when the host has the
+        devices for it (opts.mesh_devices > 1); None -> serial loop."""
+        opts = self.opts
+        if opts.mesh_devices <= 1 or n_samples < 2:
+            return None
+        if n_samples % opts.mesh_devices or len(jax.devices()) < opts.mesh_devices:
+            return None
+        from viewcrafter_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(opts.mesh_devices, dp=opts.mesh_devices)
 
     # ------------------------------------------------------------------
     # shared mode plumbing

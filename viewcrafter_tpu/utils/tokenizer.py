@@ -129,8 +129,23 @@ def _get_tokenizer() -> CLIPTokenizer | None:
     return _TOKENIZER
 
 
+_warned_fallback = False
+
+
 def _fallback_ids(text: str) -> List[int]:
     """Deterministic stand-in ids when no merges file exists (dev only)."""
+    global _warned_fallback
+    if not _warned_fallback:
+        _warned_fallback = True
+        import warnings
+
+        warnings.warn(
+            "CLIP BPE merges file not found — using HASH-FALLBACK token ids. "
+            "Fine for random-weight development; text conditioning is garbage "
+            "with real checkpoints. Place bpe_simple_vocab_16e6.txt.gz in "
+            "./checkpoints/ or set VIEWCRAFTER_BPE_PATH.",
+            stacklevel=3,
+        )
     words = _clean_text(text).split()
     return [1000 + (hash(w) % 48000) for w in words]
 
