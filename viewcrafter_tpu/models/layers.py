@@ -120,7 +120,8 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * jax.nn.gelu(gate.astype(jnp.float32)).astype(h.dtype)
+        # exact erf GELU: the reference uses torch.nn.functional.gelu default
+        return h * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(h.dtype)
 
 
 class FeedForward(nn.Module):

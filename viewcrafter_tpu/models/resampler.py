@@ -61,7 +61,7 @@ class ResamplerFF(nn.Module):
     def __call__(self, x):
         h = LayerNormF32(name="norm")(x)
         h = Dense(self.dim * self.mult, use_bias=False, dtype=self.dtype, name="fc1")(h)
-        h = jax.nn.gelu(h.astype(jnp.float32)).astype(h.dtype)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(h.dtype)
         return Dense(self.dim, use_bias=False, dtype=self.dtype, name="fc2")(h)
 
 

@@ -190,10 +190,23 @@ def _map_transformer_block(t: Translator, src: str, dst: str):
     t.linear(f"{src}.ff.net.2", f"{dst}/ff/out")
 
 
+def _proj_linear_or_conv1d(t: Translator, src: str, dst: str):
+    """proj_in/proj_out are Linear when use_linear=True (all body
+    transformers, yaml `use_linear: true`) but the UNet's init_attn omits the
+    flag and defaults to 1x1 Conv1d (attention.py:267,288,
+    openaimodel3d.py:391) — same math, (out,in,1) weight."""
+    w = t.take(f"{src}.weight")
+    if w.ndim == 3:
+        w = w[:, :, 0]
+    t.assign(f"{dst}/kernel", t_linear(w))
+    if t.has(f"{src}.bias"):
+        t.assign(f"{dst}/bias", t.take(f"{src}.bias"))
+
+
 def _map_spatial_transformer(t: Translator, src: str, dst: str, depth: int = 1):
     t.groupnorm32(f"{src}.norm", f"{dst}/norm")
-    t.linear(f"{src}.proj_in", f"{dst}/proj_in")
-    t.linear(f"{src}.proj_out", f"{dst}/proj_out")
+    _proj_linear_or_conv1d(t, f"{src}.proj_in", f"{dst}/proj_in")
+    _proj_linear_or_conv1d(t, f"{src}.proj_out", f"{dst}/proj_out")
     for d in range(depth):
         _map_transformer_block(t, f"{src}.transformer_blocks.{d}", f"{dst}/block_{d}")
 
@@ -401,7 +414,12 @@ def _map_dpt_head(t: Translator, src: str, dst: str):
         t.conv2d(f"{src}.dpt.scratch.layer{i+1}_rn", f"{dst}/layer{i+1}_rn", bias=False)
         rsrc = f"{src}.dpt.scratch.refinenet{i+1}"
         rdst = f"{dst}/refinenet{i+1}"
-        for u, un in [("resConfUnit1", "rcu1"), ("resConfUnit2", "rcu2")]:
+        # refinenet4 (pyramid top) gets no skip input, so its resConfUnit1 is
+        # dead weight in the reference (dpt_block.py FeatureFusionBlock_custom
+        # only runs resConfUnit1 when given two inputs); our FusionBlock
+        # doesn't materialize it
+        units = [("resConfUnit2", "rcu2")] if i == 3 else [("resConfUnit1", "rcu1"), ("resConfUnit2", "rcu2")]
+        for u, un in units:
             if t.has(f"{rsrc}.{u}.conv1.weight"):
                 t.conv2d(f"{rsrc}.{u}.conv1", f"{rdst}/{un}/conv1")
                 t.conv2d(f"{rsrc}.{u}.conv2", f"{rdst}/{un}/conv2")

@@ -78,18 +78,52 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 _LPIPS_WEIGHTS: Optional[Dict] = None
 
+# torchvision alexnet.features conv indices; the lpips package wraps them in
+# slice modules keeping the original numbering (lpips/pretrained_networks.py):
+# slice1.0, slice2.3, slice3.6, slice4.8, slice5.10
+_ALEX_CONV_IDX = [0, 3, 6, 8, 10]
+
+
+def _resolve_lpips_arrays(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Normalize any of the three layouts seen in the wild to
+    {conv{i}.weight/bias, lin{i}.weight}:
+      (a) full lpips.LPIPS(net='alex') state dict:
+          net.slice{k}.{n}.weight + lin{i}.model.1.weight + scaling_layer.*
+      (b) the official lin-only file (lpips/weights/v0.1/alex.pth):
+          lin{i}.model.1.weight  (backbone must be merged in from (c))
+      (c) torchvision alexnet: features.{n}.weight
+    Raises KeyError naming what's missing — no silent fallback."""
+    out: Dict[str, np.ndarray] = {}
+    for i, n in enumerate(_ALEX_CONV_IDX):
+        cands = [f"net.slice{i+1}.{n}.weight", f"features.{n}.weight", f"net.features.{n}.weight"]
+        key = next((c for c in cands if c in sd), None)
+        if key is None:
+            raise KeyError(
+                f"LPIPS: no AlexNet conv{i} weight under any of {cands}; "
+                "supply a full lpips.LPIPS state dict or merge torchvision "
+                "alexnet features into the file"
+            )
+        out[f"conv{i}.weight"] = sd[key]
+        out[f"conv{i}.bias"] = sd[key.replace("weight", "bias")]
+    for i in range(5):
+        cands = [f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"]
+        key = next((c for c in cands if c in sd), None)
+        if key is None:
+            raise KeyError(f"LPIPS: missing linear head under any of {cands}")
+        out[f"lin{i}.weight"] = sd[key]
+    return out
+
 
 def load_lpips_weights(path: str) -> None:
     """Load AlexNet conv weights + LPIPS linear heads from a torch .pth
-    containing the standard lpips.LPIPS(net='alex') state dict."""
+    (full lpips.LPIPS(net='alex') state dict, or the lin-only official file
+    merged with torchvision alexnet weights). Fails loudly on unknown layout."""
     global _LPIPS_WEIGHTS
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    w = {}
-    for k, v in sd.items():
-        w[k] = np.asarray(v.detach().numpy(), np.float32)
-    _LPIPS_WEIGHTS = w
+    w = {k: np.asarray(v.detach().numpy(), np.float32) for k, v in sd.items()}
+    _LPIPS_WEIGHTS = _resolve_lpips_arrays(w)
 
 
 def lpips_available() -> bool:
@@ -110,8 +144,8 @@ def lpips(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         h = normalize(x.astype(jnp.float32))
         feats = []
         for i, (_, kk, s, p) in enumerate(_ALEX_LAYOUT):
-            kern = jnp.asarray(np.transpose(w[f"net.slice{i+1}.conv.weight"] if f"net.slice{i+1}.conv.weight" in w else w[f"net.features.{[0,3,6,8,10][i]}.weight"], (2, 3, 1, 0)))
-            bias = jnp.asarray(w.get(f"net.features.{[0,3,6,8,10][i]}.bias"))
+            kern = jnp.asarray(np.transpose(w[f"conv{i}.weight"], (2, 3, 1, 0)))
+            bias = jnp.asarray(w[f"conv{i}.bias"])
             h = jax.lax.conv_general_dilated(
                 h, kern, (s, s), [(p, p), (p, p)], dimension_numbers=("NHWC", "HWIO", "NHWC")
             ) + bias
@@ -130,14 +164,18 @@ def lpips(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         xn = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-10)
         yn = y / jnp.clip(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-10)
         diff = (xn - yn) ** 2
-        lin = jnp.asarray(_LPIPS_WEIGHTS[f"lin{i}.model.1.weight"][:, :, 0, 0].T)  # (C, 1)
+        lin = jnp.asarray(w[f"lin{i}.weight"][:, :, 0, 0].T)  # (C, 1)
         total = total + jnp.mean(diff @ lin, axis=(-3, -2, -1))
     return total
 
 
-def video_metrics(pred: np.ndarray, gt: np.ndarray) -> Dict[str, float]:
-    """Per-video means; pred/gt (T, H, W, 3) in [0, 1] (or [-1, 1] for lpips)."""
-    out = {
+def video_metrics(pred: np.ndarray, gt: np.ndarray) -> Dict[str, Optional[float]]:
+    """Per-video means; pred/gt (T, H, W, 3) in [0, 1] (or [-1, 1] for lpips).
+
+    `lpips` is ALWAYS present in the result: a float when weights are loaded,
+    None when skipped — so an eval run can never silently measure less than
+    it claims."""
+    out: Dict[str, Optional[float]] = {
         "psnr": float(jnp.mean(psnr(jnp.asarray(pred), jnp.asarray(gt)))),
         "ssim": float(jnp.mean(ssim(jnp.asarray(pred), jnp.asarray(gt)))),
     }
@@ -145,4 +183,6 @@ def video_metrics(pred: np.ndarray, gt: np.ndarray) -> Dict[str, float]:
         out["lpips"] = float(
             jnp.mean(lpips(jnp.asarray(pred) * 2 - 1, jnp.asarray(gt) * 2 - 1))
         )
+    else:
+        out["lpips"] = None
     return out
