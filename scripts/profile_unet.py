@@ -21,18 +21,31 @@ jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def timeit(name, fn, *args, reps=3):
-    fn = jax.jit(fn)
-    out = jax.block_until_ready(fn(*args))  # compile
-    # D2H sync per rep (axon tunnel: block_until_ready may return early)
+def timeit(name, fn, *args, reps=3, inner=5):
+    """Times `inner` chained applications inside ONE jit (amortizes the axon
+    tunnel's per-call latency) and syncs with a SCALAR D2H read (fetching the
+    full output would measure the tunnel's bandwidth, not the kernel)."""
+
+    def loop(*a):
+        # serialize iterations through a data dependency (float x*0 is not
+        # foldable — NaN semantics — so XLA can't CSE the repeated calls)
+        s = jnp.float32(0.0)
+        for _ in range(inner):
+            a0 = a[0] + (s * 0).astype(a[0].dtype)
+            out = fn(a0, *a[1:])
+            s = jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32))
+        return s
+
+    jl = jax.jit(loop)
+    _ = float(jl(*args))  # compile
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        _ = jax.device_get(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+        _ = float(jl(*args))
         best = min(best, time.perf_counter() - t0)
-    print(f"{name:<42s} {best*1000:9.2f} ms")
-    return best
+    per = best / inner
+    print(f"{name:<42s} {per*1000:9.2f} ms", flush=True)
+    return per
 
 
 def main():
