@@ -69,12 +69,17 @@ def main():
     pab_kinds = tuple(
         os.environ.get("VIEWCRAFTER_BENCH_PAB_KINDS", "spatial,cross,temporal").split(",")
     )
+    # PAB_SITES: comma-separated site-name prefixes to cache (memory knob;
+    # empty = all sites). "down_0,up_0,init_attn" = the ds1 (full-res) subset.
+    pab_sites = tuple(
+        s for s in os.environ.get("VIEWCRAFTER_BENCH_PAB_SITES", "").split(",") if s
+    )
 
     def run(seed):
         out = eng.generate_staged(
             params, frames, ids, uids, jax.random.PRNGKey(seed), steps=steps,
             guidance=guidance, chunk=chunk, attn_reuse_interval=pab,
-            attn_reuse_kinds=pab_kinds,
+            attn_reuse_kinds=pab_kinds, attn_reuse_sites=pab_sites,
         )
         # force completion via a host transfer: block_until_ready can return
         # early through the experimental axon tunnel, a D2H read cannot

@@ -96,3 +96,40 @@ def test_pab_interval1_matches_baseline():
     assert pab.shape == base.shape
     # PAB is an approximation: outputs differ from exact sampling
     assert np.abs(np.asarray(pab) - np.asarray(base)).max() > 0
+
+
+def test_pab_site_filtering(setup):
+    """attn_reuse_sites prefixes restrict which sites land in the cache; a
+    partial cache reuses matching sites and recomputes the rest."""
+    model, params, x, ts, ctx = setup
+    _, cache_all = model.apply(params, x, ts, ctx, collect_cache=True)
+    prefixes = ("down_0", "up_0", "init_attn")
+    cache_ds1 = {k: v for k, v in cache_all.items() if k.startswith(prefixes)}
+    assert 0 < len(cache_ds1) < len(cache_all)
+    # partial reuse: runs and exactly reproduces (cache from same input)
+    y_ref = model.apply(params, x, ts, ctx)
+    y_part = model.apply(params, x, ts, ctx, attn_cache=cache_ds1)
+    np.testing.assert_allclose(np.asarray(y_part), np.asarray(y_ref), atol=1e-6)
+
+
+def test_pab_sites_e2e():
+    """generate_staged with a site filter runs end-to-end and stays finite."""
+    from viewcrafter_tpu.models.lvdm import VideoDiffusionEngine
+    from viewcrafter_tpu.sampling.ddim import GuidanceConfig
+
+    cfg = get_model_config("viewcrafter_tiny")
+    eng = VideoDiffusionEngine(cfg, dtype=jnp.float32)
+    params = jax.jit(eng.init_params)(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.where(jnp.all(p == 0), jnp.full_like(p, 0.01), p), params
+    )
+    frames = jnp.zeros((1, cfg.video_length, cfg.height, cfg.width, 3))
+    ids = jnp.asarray(eng.prompt_ids("a scene", 1))
+    uids = jnp.asarray(eng.prompt_ids("", 1))
+    rng = jax.random.PRNGKey(5)
+    g = GuidanceConfig()
+    out = eng.generate_staged(
+        params, frames, ids, uids, rng, steps=4, guidance=g,
+        attn_reuse_interval=2, attn_reuse_sites=("down_0", "up_0", "init_attn"),
+    )
+    assert np.isfinite(np.asarray(out)).all()

@@ -401,6 +401,76 @@ def test_clip_text_golden():
     assert_close(np.asarray(y), y_ref, name="clip_text")
 
 
+def test_croco_pretrain_golden():
+    """CroCoPretrain vs the reference CroCoNet masked forward (a fixed mask is
+    injected into both so the pretext task is deterministic)."""
+    from models.croco import CroCoNet
+
+    from viewcrafter_tpu.models.croco_pretrain import (
+        CroCoPretrain, CroCoPretrainConfig, masked_mse_loss,
+    )
+    from viewcrafter_tpu.utils.checkpoint import Translator, map_croco_pretrain
+
+    H = W = 64
+    cfg = CroCoPretrainConfig(
+        img_size=(H, W), patch_size=16, enc_embed_dim=64, enc_depth=2,
+        enc_num_heads=2, dec_embed_dim=48, dec_depth=2, dec_num_heads=2,
+        mask_ratio=0.75,
+    )
+    ref = CroCoNet(
+        img_size=H, patch_size=16, mask_ratio=cfg.mask_ratio,
+        enc_embed_dim=cfg.enc_embed_dim, enc_depth=cfg.enc_depth,
+        enc_num_heads=cfg.enc_num_heads, dec_embed_dim=cfg.dec_embed_dim,
+        dec_depth=cfg.dec_depth, dec_num_heads=cfg.dec_num_heads,
+        pos_embed="RoPE100",
+    ).eval()
+    randomize_(ref, 70)
+
+    n = (H // 16) * (W // 16)
+    num_mask = int(cfg.mask_ratio * n)
+    rngm = np.random.default_rng(9)
+    mask = np.zeros((1, n), bool)
+    mask[0, rngm.permutation(n)[:num_mask]] = True
+    class _FixedMask(torch.nn.Module):
+        def forward(self, x):
+            return torch.from_numpy(mask)
+
+    ref.mask_generator = _FixedMask()
+
+    t = Translator(dict(ref.state_dict()))
+    map_croco_pretrain(t, cfg.enc_depth, cfg.dec_depth)
+    params = {"params": t.nested()}
+
+    model = CroCoPretrain(cfg=cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(10)
+    img1 = rng.standard_normal((1, 3, H, W)).astype(np.float32) * 0.5
+    img2 = rng.standard_normal((1, 3, H, W)).astype(np.float32) * 0.5
+    j1 = jnp.transpose(jnp.asarray(img1), (0, 2, 3, 1))
+    j2 = jnp.transpose(jnp.asarray(img2), (0, 2, 3, 1))
+
+    init_tree = model.init(jax.random.PRNGKey(0), j1, j2, mask=jnp.asarray(mask))
+    _assert_translated_matches_init(params, init_tree, "croco_pretrain")
+
+    with torch.no_grad():
+        out_ref, mask_ref, target_ref = ref(torch.from_numpy(img1), torch.from_numpy(img2))
+
+    pred, mask_j, target = model.apply(params, j1, j2, mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(mask_j), mask_ref.numpy())
+    assert_close(np.asarray(target), target_ref.numpy(), name="croco target")
+    assert_close(np.asarray(pred), out_ref.numpy(), name="croco pred")
+
+    # criterion parity (MaskedMSE, both norm modes)
+    from models.criterion import MaskedMSE
+
+    for norm in (False, True):
+        with torch.no_grad():
+            ref_loss = MaskedMSE(norm_pix_loss=norm)(out_ref, mask_ref, target_ref)
+        ours = masked_mse_loss(np.asarray(pred), np.asarray(mask_j), np.asarray(target),
+                               norm_pix_loss=norm)
+        assert_close(np.asarray(ours), np.asarray(float(ref_loss)), tol=1e-3,
+                     name=f"masked_mse norm={norm}")
+
+
 # ---------------------------------------------------------------------------
 # LPIPS vs a torch oracle (the lpips pip package isn't installed; the oracle
 # implements the published LPIPS-alex forward directly and the state dict uses

@@ -77,6 +77,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help=">1 enables Pyramid-Attention-Broadcast reuse: attention is "
                         "recomputed every N steps and broadcast in between "
                         "(arXiv:2408.12588); 1 = exact sampling")
+    p.add_argument("--attn_reuse_sites", type=str, default="",
+                   help="comma-separated site-name prefixes to cache for PAB reuse "
+                        "(e.g. 'down_0,up_0,init_attn'); empty = all sites. Restricting to "
+                        "the ds1 sites keeps the cache inside a 16 GB chip at 576x1024")
     p.add_argument("--weights_dtype", type=str, default="bf16", choices=["bf16", "fp32"],
                    help="inference weight storage dtype")
     p.add_argument("--mesh_devices", type=int, default=0,
@@ -143,6 +147,7 @@ def opts_from_args(args) -> "InferenceOptions":
         n_samples=args.n_samples,
         sequential_cfg=args.sequential_cfg,
         attn_reuse_interval=args.attn_reuse_interval,
+        attn_reuse_sites=tuple(s for s in args.attn_reuse_sites.split(",") if s),
         weights_dtype=args.weights_dtype,
         mesh_devices=args.mesh_devices,
         model_path=args.model_path,

@@ -239,11 +239,21 @@ class VideoDiffusionEngine:
     # ------------------------------------------------------------------
 
     def _denoise_fn(self, params, z_cond, contexts, fs_val, guidance: GuidanceConfig,
-                    cache_kinds=("spatial", "cross", "temporal")):
+                    cache_kinds=("spatial", "cross", "temporal"),
+                    cache_sites: tuple = ()):
         """Returns (denoise, denoise_full, denoise_reuse):
           denoise(x_k, t) -> v                          (baseline)
           denoise_full(x_k, t) -> (v, attention cache)   (PAB collect)
           denoise_reuse(x_k, t, cache) -> v              (PAB broadcast)
+
+        cache_sites: optional tuple of site-name prefixes (e.g. ("down_0",
+        "up_0", "init_attn")) — only matching attention sites are cached/reused;
+        the rest are recomputed every step. This is the flagship memory
+        knob: the full all-sites cache is ~9 GB at 576x1024x25 (OOM on a
+        16 GB chip), the ds1-only subset is ~3 GB and holds most of the
+        attention FLOPs. Sites absent from the cache dict are recomputed
+        (AttnCacheCtx.site falls through on a read miss), and XLA DCEs
+        their collection outputs, so filtering the dict is sufficient.
         """
         k = guidance.num_branches
         b = z_cond.shape[0]
@@ -300,6 +310,14 @@ class VideoDiffusionEngine:
                     attn_cache=cache, cache_kinds=cache_kinds,
                 )
 
+        if cache_sites:
+            prefixes = tuple(cache_sites)
+            inner_full = denoise_full
+
+            def denoise_full(x_k, t_batch):
+                v, cache = inner_full(x_k, t_batch)
+                return v, {n: a for n, a in cache.items() if n.startswith(prefixes)}
+
         return denoise, denoise_full, denoise_reuse
 
     def generate_staged(
@@ -318,6 +336,7 @@ class VideoDiffusionEngine:
         chunk: int = 10,
         attn_reuse_interval: int = 1,
         attn_reuse_kinds: tuple = ("spatial", "cross", "temporal"),
+        attn_reuse_sites: tuple = (),
         mesh=None,
     ) -> jnp.ndarray:
         """Same math as `generate`, split into prepare / N sampling windows /
@@ -354,7 +373,8 @@ class VideoDiffusionEngine:
         if attn_reuse_interval > 1:
             chunk = attn_reuse_interval
         key = ("staged", steps, eta, guidance, fs_val, timestep_spacing, cond_idx, chunk,
-               attn_reuse_interval, attn_reuse_kinds, tuple(guidance_frames.shape), mesh)
+               attn_reuse_interval, attn_reuse_kinds, attn_reuse_sites,
+               tuple(guidance_frames.shape), mesh)
         if not hasattr(self, "_staged_cache"):
             self._staged_cache = {}
         progs = self._staged_cache.get(key)
@@ -369,7 +389,8 @@ class VideoDiffusionEngine:
 
             def window(params, x, z_cond, contexts, rng_sample, start, num):
                 denoise_fn, d_full, d_reuse = self._denoise_fn(
-                    params, z_cond, contexts, fs_val, guidance, cache_kinds=attn_reuse_kinds
+                    params, z_cond, contexts, fs_val, guidance,
+                    cache_kinds=attn_reuse_kinds, cache_sites=attn_reuse_sites,
                 )
                 if attn_reuse_interval > 1:
                     return ddim_sample_window_pab(

@@ -95,6 +95,7 @@ class InferenceOptions:
     # memory / perf knobs (TPU-native; no reference equivalent)
     sequential_cfg: bool = False  # evaluate CFG branches one at a time (~halves activation HBM)
     attn_reuse_interval: int = 1  # >1: PAB attention reuse (arXiv:2408.12588); 1 = exact
+    attn_reuse_sites: tuple = ()  # site-prefix filter, e.g. ("down_0","up_0","init_attn"): cache only those (memory knob)
     mesh_devices: int = 0  # >1: shard n_samples over a dp mesh (multi-chip)
     # dust3r
     model_path: Optional[str] = None
@@ -354,6 +355,7 @@ class ViewCrafterPipeline:
             fs=opts.frame_stride, timestep_spacing=opts.timestep_spacing,
             cond_idx=cond_idx, chunk=min(10, opts.ddim_steps),
             attn_reuse_interval=opts.attn_reuse_interval,
+            attn_reuse_sites=tuple(opts.attn_reuse_sites),
         )
         n = max(1, opts.n_samples)
         mesh = self._sample_mesh(n)

@@ -429,6 +429,21 @@ def _map_dpt_head(t: Translator, src: str, dst: str):
     t.conv2d(f"{src}.dpt.head.4", f"{dst}/head_conv3")
 
 
+def map_croco_pretrain(t: Translator, enc_depth: int, dec_depth: int) -> None:
+    """CroCoNet pretraining checkpoint (croco/models/croco.py:21-115) ->
+    models/croco_pretrain.CroCoPretrain params."""
+    t.conv2d("patch_embed.proj", "patch_embed")
+    t.layernorm("enc_norm", "enc_norm")
+    for i in range(enc_depth):
+        _map_croco_enc_block(t, f"enc_blocks.{i}", f"enc_block_{i}")
+    t.linear("decoder_embed", "decoder_embed")
+    t.assign("mask_token", t.take("mask_token"))
+    t.layernorm("dec_norm", "dec_norm")
+    for i in range(dec_depth):
+        _map_croco_dec_block(t, f"dec_blocks.{i}", f"dec_block_{i}")
+    t.linear("prediction_head", "prediction_head")
+
+
 def map_dust3r(t: Translator, cfg=None) -> None:
     from viewcrafter_tpu.config import Dust3rConfig
 
