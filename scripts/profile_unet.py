@@ -26,13 +26,17 @@ def timeit(name, fn, *args, reps=3, inner=5):
     tunnel's per-call latency) and syncs with a SCALAR D2H read (fetching the
     full output would measure the tunnel's bandwidth, not the kernel)."""
 
+    # perturb the first ARRAY argument (arg 0 may be a params pytree)
+    ai = next(i for i, v in enumerate(args) if hasattr(v, "dtype"))
+
     def loop(*a):
         # serialize iterations through a data dependency (float x*0 is not
         # foldable — NaN semantics — so XLA can't CSE the repeated calls)
         s = jnp.float32(0.0)
         for _ in range(inner):
-            a0 = a[0] + (s * 0).astype(a[0].dtype)
-            out = fn(a0, *a[1:])
+            av = list(a)
+            av[ai] = a[ai] + (s * 0).astype(a[ai].dtype)
+            out = fn(*av)
             s = jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32))
         return s
 

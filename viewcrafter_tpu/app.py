@@ -51,7 +51,13 @@ def build_demo(opts=None):
         pipeline.rng = jax.random.PRNGKey(int(seed))
         pipeline.run()
         save = pipeline.opts.save_dir
-        return os.path.join(save, "render0.mp4"), os.path.join(save, "diffusion0.mp4")
+
+        def artifact(name):
+            p = os.path.join(save, name)
+            # io.save_video falls back to a PNG directory without ffmpeg
+            return p if os.path.exists(p) else p + ".frames"
+
+        return artifact("render0.mp4"), artifact("diffusion0.mp4")
 
     with gr.Blocks(title="ViewCrafter-TPU") as demo:
         gr.Markdown("# ViewCrafter-TPU — novel view synthesis from one image")
