@@ -192,7 +192,17 @@ def _temporal_attention(q, k, v, mask=None):
     """Self-attention over the t axis of (B, T, S, H, D) tensors WITHOUT
     materializing a (B*S, T, C) transpose — XLA folds the layout change into
     the matmuls (a standalone transpose of the ds1 activations costs ~8% of a
-    flagship UNet eval)."""
+    flagship UNet eval). On TPU, qualifying shapes run the fused Pallas
+    kernel (ops/pallas/temporal_attention.py) which keeps the (T, T) logits
+    in VMEM — the XLA path round-trips them through HBM (~28 ms/site at
+    flagship shapes vs ~1.5 ms speed-of-light)."""
+    from viewcrafter_tpu.ops.attention import _on_tpu
+    from viewcrafter_tpu.ops.pallas.temporal_attention import (
+        supports_fused, temporal_attention_fused,
+    )
+
+    if mask is None and _on_tpu() and supports_fused(q.shape):
+        return temporal_attention_fused(q, k, v)
     d = q.shape[-1]
     logits = jnp.einsum("bqshd,bkshd->bshqk", q, k, preferred_element_type=jnp.float32)
     logits = logits.astype(jnp.float32) * (d**-0.5)
