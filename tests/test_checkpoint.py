@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 import torch.nn.functional as tF
@@ -166,3 +167,52 @@ def test_verify_tree_shapes_reports_mismatches():
     bad = {"a": {"kernel": np.zeros((4, 3))}}
     errs = ck.verify_tree_shapes(bad, ref)
     assert any("shape" in e for e in errs) and any("missing" in e for e in errs)
+
+
+def test_convert_cli_dust3r(tmp_path):
+    """python -m viewcrafter_tpu.convert on a real (tiny) torch DUSt3R
+    checkpoint: translate -> shape-verify -> orbax -> reload parity."""
+    import sys
+
+    import numpy as np
+    import jax
+
+    for _p in ("/root/reference/extern/dust3r", "/root/reference/extern/dust3r/croco"):
+        if _p not in sys.path:
+            sys.path.append(_p)
+    dust3r_model = pytest.importorskip("dust3r.model")
+    AsymmetricCroCo3DStereo = dust3r_model.AsymmetricCroCo3DStereo
+
+    from viewcrafter_tpu import convert
+    from viewcrafter_tpu.config import DUST3R_REGISTRY, Dust3rConfig
+    from viewcrafter_tpu.utils.checkpoint import load_params
+
+    inf = float("inf")
+    ref = AsymmetricCroCo3DStereo(
+        output_mode="pts3d", head_type="dpt",
+        depth_mode=("exp", -inf, inf), conf_mode=("exp", 1, inf),
+        landscape_only=True, patch_embed_cls="PatchEmbedDust3R",
+        img_size=(64, 64), patch_size=16,
+        enc_embed_dim=64, enc_depth=4, enc_num_heads=2,
+        dec_embed_dim=48, dec_depth=12, dec_num_heads=2,
+        mlp_ratio=4, pos_embed="RoPE100",
+    )
+    pth = tmp_path / "tiny_dust3r.pth"
+    torch.save({"model": ref.state_dict()}, str(pth))
+
+    name = "dust3r_convert_test"
+    DUST3R_REGISTRY.setdefault(name, Dust3rConfig(
+        img_size=(64, 64), patch_size=16,
+        enc_embed_dim=64, enc_depth=4, enc_num_heads=2,
+        dec_embed_dim=48, dec_depth=12, dec_num_heads=2,
+    ))
+    out = str(tmp_path / "flax_dust3r")
+    convert.main(["--dust3r_path", str(pth), "--dust3r_model", name,
+                  "--out", out, "--dtype", "fp32"])
+    tree = load_params(out)
+    w_ref = ref.state_dict()["patch_embed.proj.weight"].numpy()
+    w = np.asarray(jax.tree.leaves(
+        tree["params"]["encoder"]["patch_embed"])[0] if False else
+        tree["params"]["encoder"]["patch_embed"]["kernel"])
+    # conv2d translate: OIHW -> HWIO
+    np.testing.assert_allclose(w, np.transpose(w_ref, (2, 3, 1, 0)), atol=0)
