@@ -165,3 +165,29 @@ def test_clean_pointcloud_keeps_consistent_points():
     # a perfectly consistent scene should lose (almost) nothing
     frac_changed = (cleaned.im_conf < scene.im_conf).mean()
     assert frac_changed < 0.05, frac_changed
+
+
+def test_pair_viewer_recovers_relative_pose():
+    """PairViewer (closed-form 2-view): anchor pose is identity and the other
+    camera's recovered pose matches the ground-truth relative transform."""
+    from viewcrafter_tpu.align.pairs import pair_viewer
+
+    graph, gt_poses = _synthetic_graph(n=2)
+    scene = pair_viewer(graph, min_conf_thr=3.0)
+
+    assert scene.poses.shape == (2, 4, 4)
+    # one camera is the identity anchor
+    anchors = [i for i in range(2) if np.allclose(scene.poses[i], np.eye(4), atol=1e-5)]
+    assert len(anchors) == 1
+    a = anchors[0]
+    o = 1 - a
+    # scene poses are in the anchor's frame: compare relative transforms
+    gt_rel = np.linalg.inv(gt_poses[a]) @ gt_poses[o]
+    Rr, tr = scene.poses[o][:3, :3], scene.poses[o][:3, 3]
+    Rg, tg = gt_rel[:3, :3], gt_rel[:3, 3]
+    ang = np.degrees(np.arccos(np.clip((np.trace(Rr.T @ Rg) - 1) / 2, -1, 1)))
+    assert ang < 2.0, f"rotation error {ang} deg"
+    assert np.linalg.norm(tr - tg) < 0.05, (tr, tg)
+    # focals close to the synthetic camera's (from _camera_grid_pts geometry)
+    assert np.all(scene.focals > 0)
+    assert np.isfinite(scene.depths).all()

@@ -133,3 +133,46 @@ def test_pab_sites_e2e():
         attn_reuse_interval=2, attn_reuse_sites=("down_0", "up_0", "init_attn"),
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ff_caching_and_f8_storage(setup):
+    """'ff' kind caches feed-forward deltas; f8 storage round-trips with
+    bounded error; identity reuse holds to f8 precision."""
+    model, params, x, ts, ctx = setup
+    _, cache_all = model.apply(params, x, ts, ctx, collect_cache=True,
+                               cache_kinds=("spatial", "cross", "temporal", "ff"))
+    assert any(k.endswith("/ff") for k in cache_all)
+
+    _, cache_f8 = model.apply(params, x, ts, ctx, collect_cache=True,
+                              cache_kinds=("spatial", "cross", "temporal", "ff"),
+                              cache_dtype=jnp.float8_e4m3fn)
+    assert all(v.dtype == jnp.float8_e4m3fn for v in cache_f8.values())
+
+    y_ref = model.apply(params, x, ts, ctx)
+    y_f8 = model.apply(params, x, ts, ctx, attn_cache=cache_f8,
+                       cache_kinds=("spatial", "cross", "temporal", "ff"))
+    err = float(jnp.max(jnp.abs(y_f8 - y_ref)))
+    assert np.isfinite(np.asarray(y_f8)).all()
+    assert err < 0.15, err  # 8-bit storage of the deltas, not exact
+
+
+def test_pab_ff_f8_e2e():
+    from viewcrafter_tpu.models.lvdm import VideoDiffusionEngine
+    from viewcrafter_tpu.sampling.ddim import GuidanceConfig
+
+    cfg = get_model_config("viewcrafter_tiny")
+    eng = VideoDiffusionEngine(cfg, dtype=jnp.float32)
+    params = jax.jit(eng.init_params)(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.where(jnp.all(p == 0), jnp.full_like(p, 0.01), p), params
+    )
+    frames = jnp.zeros((1, cfg.video_length, cfg.height, cfg.width, 3))
+    ids = jnp.asarray(eng.prompt_ids("a scene", 1))
+    uids = jnp.asarray(eng.prompt_ids("", 1))
+    out = eng.generate_staged(
+        params, frames, ids, uids, jax.random.PRNGKey(5), steps=4,
+        guidance=GuidanceConfig(), attn_reuse_interval=2,
+        attn_reuse_kinds=("spatial", "cross", "temporal", "ff"),
+        attn_reuse_dtype="f8",
+    )
+    assert np.isfinite(np.asarray(out)).all()

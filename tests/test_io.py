@@ -59,3 +59,35 @@ def test_save_video_fallback(tmp_path):
 def test_to_uint8_ranges():
     np.testing.assert_array_equal(vio.to_uint8(np.array([[-1.0, 0.0, 1.0]])), [[0, 128, 255]])
     np.testing.assert_array_equal(vio.to_uint8(np.array([[0.0, 0.5, 1.0]])), [[0, 128, 255]])
+
+
+def test_sceneviz_ply(tmp_path):
+    """SceneViz analog: point cloud + camera frustums into one mesh-PLY."""
+    import numpy as np
+
+    from viewcrafter_tpu.utils.viz import SceneViz, auto_cam_size, save_scene_ply
+
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((100, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+    poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(3)])
+    poses[1, 0, 3] = 1.0
+    poses[2, 0, 3] = 2.0
+
+    path = str(tmp_path / "scene.ply")
+    out = save_scene_ply(path, pts, cols, poses, focals=[900.0] * 3,
+                         imsizes=[(1024, 576)] * 3)
+    text = open(out).read()
+    # 100 points + 3 cameras x 5 vertices; 3 cameras x 6 faces
+    assert "element vertex 115" in text
+    assert "element face 18" in text
+    assert auto_cam_size(poses) == max(1e-3, 0.1 * 2.0)
+
+    # mask filters points; faces reference valid vertex ids
+    v = SceneViz().add_pointcloud(pts, (255, 0, 0), mask=pts[:, 0] > 0)
+    v.add_camera(poses[0])
+    p2 = v.save_ply(str(tmp_path / "scene2.ply"))
+    lines = open(p2).read().splitlines()
+    nv = int([l for l in lines if l.startswith("element vertex")][0].split()[-1])
+    faces = [l for l in lines if l.startswith("3 ")]
+    assert all(int(tok) < nv for f in faces for tok in f.split()[1:])

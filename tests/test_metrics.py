@@ -19,3 +19,58 @@ def test_ssim_identity_and_degradation():
     # smooth shift degrades SSIM less than noise of equal energy
     shifted = a + 0.2
     assert float(ssim(a, shifted)[0]) > float(ssim(a, noisy)[0])
+
+
+def _ssim_numpy_oracle(a, b, data_range=1.0):
+    """Independent Wang et al. SSIM (11x11 Gaussian sigma=1.5, K1/K2 std),
+    written directly from the paper as a second implementation."""
+    import numpy as np
+
+    size, sigma = 11, 1.5
+    g = np.arange(size) - size // 2
+    k1d = np.exp(-(g ** 2) / (2 * sigma ** 2))
+    k = np.outer(k1d, k1d)
+    k /= k.sum()
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+
+    def filt2(img):
+        h, w = img.shape
+        out = np.zeros((h - size + 1, w - size + 1))
+        for i in range(size):
+            for j in range(size):
+                out += k[i, j] * img[i:i + out.shape[0], j:j + out.shape[1]]
+        return out
+
+    vals = []
+    for c in range(a.shape[-1]):
+        x, y = a[..., c].astype(np.float64), b[..., c].astype(np.float64)
+        mx, my = filt2(x), filt2(y)
+        sx = filt2(x * x) - mx ** 2
+        sy = filt2(y * y) - my ** 2
+        sxy = filt2(x * y) - mx * my
+        s = ((2 * mx * my + c1) * (2 * sxy + c2)) / ((mx ** 2 + my ** 2 + c1) * (sx + sy + c2))
+        vals.append(s)
+    return float(np.mean(vals))
+
+
+def test_ssim_matches_independent_oracle():
+    rng = np.random.default_rng(3)
+    a = rng.uniform(size=(24, 24, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.1, size=a.shape), 0, 1).astype(np.float32)
+    ours = float(ssim(jnp.asarray(a)[None], jnp.asarray(b)[None])[0])
+    ref = _ssim_numpy_oracle(a, b)
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_video_metrics_always_reports_lpips_key():
+    from viewcrafter_tpu.utils.metrics import lpips_available, video_metrics
+
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(size=(2, 24, 24, 3)).astype(np.float32)
+    gt = rng.uniform(size=(2, 24, 24, 3)).astype(np.float32)
+    m = video_metrics(pred, gt)
+    assert set(m) == {"psnr", "ssim", "lpips"}
+    # without weights loaded LPIPS must be explicitly None, never missing
+    if not lpips_available():
+        assert m["lpips"] is None
+    assert m["psnr"] > 0 and 0 <= m["ssim"] <= 1

@@ -81,6 +81,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help="comma-separated site-name prefixes to cache for PAB reuse "
                         "(e.g. 'down_0,up_0,init_attn'); empty = all sites. Restricting to "
                         "the ds1 sites keeps the cache inside a 16 GB chip at 576x1024")
+    p.add_argument("--attn_reuse_kinds", type=str, default="spatial,cross,temporal",
+                   help="attention families to cache for PAB reuse; add 'ff' to "
+                        "also broadcast feed-forward deltas (coarser, faster)")
+    p.add_argument("--attn_reuse_dtype", type=str, default="bf16", choices=["bf16", "f8"],
+                   help="PAB cache storage dtype; f8 halves cache HBM")
     p.add_argument("--weights_dtype", type=str, default="bf16", choices=["bf16", "fp32"],
                    help="inference weight storage dtype")
     p.add_argument("--mesh_devices", type=int, default=0,
@@ -148,6 +153,8 @@ def opts_from_args(args) -> "InferenceOptions":
         sequential_cfg=args.sequential_cfg,
         attn_reuse_interval=args.attn_reuse_interval,
         attn_reuse_sites=tuple(s for s in args.attn_reuse_sites.split(",") if s),
+        attn_reuse_kinds=tuple(s for s in args.attn_reuse_kinds.split(",") if s),
+        attn_reuse_dtype=args.attn_reuse_dtype,
         weights_dtype=args.weights_dtype,
         mesh_devices=args.mesh_devices,
         model_path=args.model_path,

@@ -240,7 +240,7 @@ class VideoDiffusionEngine:
 
     def _denoise_fn(self, params, z_cond, contexts, fs_val, guidance: GuidanceConfig,
                     cache_kinds=("spatial", "cross", "temporal"),
-                    cache_sites: tuple = ()):
+                    cache_sites: tuple = (), cache_dtype: str = "bf16"):
         """Returns (denoise, denoise_full, denoise_reuse):
           denoise(x_k, t) -> v                          (baseline)
           denoise_full(x_k, t) -> (v, attention cache)   (PAB collect)
@@ -257,6 +257,7 @@ class VideoDiffusionEngine:
         """
         k = guidance.num_branches
         b = z_cond.shape[0]
+        store_dtype = {"bf16": None, "f8": jnp.float8_e4m3fn}[cache_dtype]
         ctx_flat = contexts.reshape((k * b,) + contexts.shape[2:])
         z_cond_k = jnp.tile(z_cond, (k, 1, 1, 1, 1))
         fs_batch = jnp.full((k * b,), fs_val, jnp.float32)
@@ -289,7 +290,8 @@ class VideoDiffusionEngine:
                 return denoise
 
             denoise = make({})
-            denoise_full = make({"collect_cache": True, "cache_kinds": cache_kinds})
+            denoise_full = make({"collect_cache": True, "cache_kinds": cache_kinds,
+                                 "cache_dtype": store_dtype})
             denoise_reuse = make({"cache_kinds": cache_kinds}, with_cache_arg=True)
         else:
             def denoise(x_k, t_batch):
@@ -301,6 +303,7 @@ class VideoDiffusionEngine:
                 return self.unet.apply(
                     params.unet, x_in, t_batch, ctx_flat, fs=fs_batch,
                     collect_cache=True, cache_kinds=cache_kinds,
+                    cache_dtype=store_dtype,
                 )
 
             def denoise_reuse(x_k, t_batch, cache):
@@ -337,6 +340,7 @@ class VideoDiffusionEngine:
         attn_reuse_interval: int = 1,
         attn_reuse_kinds: tuple = ("spatial", "cross", "temporal"),
         attn_reuse_sites: tuple = (),
+        attn_reuse_dtype: str = "bf16",
         mesh=None,
     ) -> jnp.ndarray:
         """Same math as `generate`, split into prepare / N sampling windows /
@@ -374,7 +378,7 @@ class VideoDiffusionEngine:
             chunk = attn_reuse_interval
         key = ("staged", steps, eta, guidance, fs_val, timestep_spacing, cond_idx, chunk,
                attn_reuse_interval, attn_reuse_kinds, attn_reuse_sites,
-               tuple(guidance_frames.shape), mesh)
+               attn_reuse_dtype, tuple(guidance_frames.shape), mesh)
         if not hasattr(self, "_staged_cache"):
             self._staged_cache = {}
         progs = self._staged_cache.get(key)
@@ -391,6 +395,7 @@ class VideoDiffusionEngine:
                 denoise_fn, d_full, d_reuse = self._denoise_fn(
                     params, z_cond, contexts, fs_val, guidance,
                     cache_kinds=attn_reuse_kinds, cache_sites=attn_reuse_sites,
+                    cache_dtype=attn_reuse_dtype,
                 )
                 if attn_reuse_interval > 1:
                     return ddim_sample_window_pab(

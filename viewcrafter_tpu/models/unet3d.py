@@ -101,21 +101,32 @@ class AttnCacheCtx:
     overhead). The DDIM driver alternates compiled full/reuse programs
     per the broadcast cadence (see models/lvdm.py round-2 roadmap)."""
 
-    def __init__(self, reads=None, collect=False, spatial=True, cross=True, temporal=True):
+    def __init__(self, reads=None, collect=False, spatial=True, cross=True,
+                 temporal=True, ff=False, store_dtype=None, compute_dtype=None):
         self.reads = reads or {}
         self.writes = {} if collect else None
         self.spatial = spatial  # cache spatial self-attention sites
         self.cross = cross  # cache cross-attention sites
         self.temporal = temporal  # cache temporal self-attention sites
+        self.ff = ff  # cache feed-forward deltas (beyond-PAB, coarser reuse)
+        # store_dtype: cache storage dtype (e.g. jnp.float8_e4m3fn halves the
+        # cache HBM footprint — the broadcast deltas tolerate 8-bit storage);
+        # compute_dtype: what reads are cast back to
+        self.store_dtype = store_dtype
+        self.compute_dtype = compute_dtype
 
     def site(self, kind: str, name: str, compute):
         enabled = getattr(self, kind)
         if enabled and name in self.reads:
             out = self.reads[name]
+            if self.compute_dtype is not None:
+                out = out.astype(self.compute_dtype)
         else:
             out = compute()
         if self.writes is not None and enabled:
-            self.writes[name] = out
+            self.writes[name] = (
+                out.astype(self.store_dtype) if self.store_dtype is not None else out
+            )
         return out
 
 
@@ -154,7 +165,9 @@ class TransformerBlock(nn.Module):
         kind2 = "cross" if context is not None else "spatial"
         x = x + cache.site(kind2, site + "/attn2",
                            lambda: attn2(LayerNormF32(name="norm2")(x), context=context, mask=mask))
-        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNormF32(name="norm3")(x))
+        ff = FeedForward(self.dim, dtype=self.dtype, name="ff")
+        x = x + cache.site("ff", site + "/ff",
+                           lambda: ff(LayerNormF32(name="norm3")(x)))
         return x
 
 
@@ -255,7 +268,9 @@ class TemporalTransformerBlock(nn.Module):
         )
         x = x + cache.site("temporal", site + "/attn2",
                            lambda: attn2(LayerNormF32(name="norm2")(x), mask=mask))
-        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNormF32(name="norm3")(x))
+        ff = FeedForward(self.dim, dtype=self.dtype, name="ff")
+        x = x + cache.site("ff", site + "/ff",
+                           lambda: ff(LayerNormF32(name="norm3")(x)))
         return x
 
 
@@ -372,7 +387,8 @@ class UNet3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, timesteps, context, fs=None, attn_cache=None,
-                 collect_cache=False, cache_kinds=("spatial", "cross", "temporal")):
+                 collect_cache=False, cache_kinds=("spatial", "cross", "temporal"),
+                 cache_dtype=None):
         """attn_cache/collect_cache: PAB-style attention-output reuse (see
         AttnCacheCtx). attn_cache is a dict of site->array consumed INSTEAD of
         computing those attentions; collect_cache=True additionally returns
@@ -381,7 +397,8 @@ class UNet3D(nn.Module):
         cache = AttnCacheCtx(
             reads=attn_cache, collect=collect_cache,
             spatial="spatial" in cache_kinds, cross="cross" in cache_kinds,
-            temporal="temporal" in cache_kinds,
+            temporal="temporal" in cache_kinds, ff="ff" in cache_kinds,
+            store_dtype=cache_dtype, compute_dtype=self.dtype,
         ) if (attn_cache is not None or collect_cache) else _NO_CACHE
         cfg = self.cfg
         b, t, hh, ww, _ = x.shape

@@ -90,15 +90,24 @@ def rasterize_points(
     weight = jnp.clip(1.0 - dist2 / (radius_px * radius_px), 0.0, 1.0).reshape(-1)
     point_idx = jnp.broadcast_to(jnp.arange(n)[:, None], (n, f2)).reshape(-1)
 
-    # order near-to-far, then group by pixel (stable keeps depth order)
+    # order near-to-far, then group by pixel (stable keeps depth order).
+    # NOTE: a single two-key lax.sort((pix, z_bits, idx), num_keys=2) is
+    # semantically identical but its variadic comparator makes XLA:TPU
+    # compile time explode (>30 min at 3.6M candidates, measured) — the two
+    # default argsorts lower through the fast sort expansion instead.
     order_z = jnp.argsort(cand_z)
     pix_sorted = pix_id[order_z]
     order_pix = jnp.argsort(pix_sorted, stable=True)
     order = order_z[order_pix]
     pix_final = pix_id[order]
-    # rank of each candidate within its pixel
-    seg_start = jnp.searchsorted(pix_final, pix_final, side="left")
-    rank = jnp.arange(pix_final.shape[0]) - seg_start
+    # rank within pixel via a boundary cummax scan (cheaper than the
+    # gather-heavy binary search of searchsorted on TPU)
+    idx = jnp.arange(pix_final.shape[0])
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), pix_final[1:] != pix_final[:-1]]
+    )
+    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(boundary, idx, 0))
+    rank = idx - seg_start
 
     keep = (rank < k) & (pix_final < hw)
     flat = jnp.where(keep, pix_final * k + rank, hw * k)

@@ -96,6 +96,8 @@ class InferenceOptions:
     sequential_cfg: bool = False  # evaluate CFG branches one at a time (~halves activation HBM)
     attn_reuse_interval: int = 1  # >1: PAB attention reuse (arXiv:2408.12588); 1 = exact
     attn_reuse_sites: tuple = ()  # site-prefix filter, e.g. ("down_0","up_0","init_attn"): cache only those (memory knob)
+    attn_reuse_kinds: tuple = ("spatial", "cross", "temporal")  # which families to cache; +"ff" for coarser reuse
+    attn_reuse_dtype: str = "bf16"  # cache storage: "bf16" | "f8" (halves cache HBM)
     mesh_devices: int = 0  # >1: shard n_samples over a dp mesh (multi-chip)
     # dust3r
     model_path: Optional[str] = None
@@ -356,6 +358,8 @@ class ViewCrafterPipeline:
             cond_idx=cond_idx, chunk=min(10, opts.ddim_steps),
             attn_reuse_interval=opts.attn_reuse_interval,
             attn_reuse_sites=tuple(opts.attn_reuse_sites),
+            attn_reuse_kinds=tuple(opts.attn_reuse_kinds),
+            attn_reuse_dtype=opts.attn_reuse_dtype,
         )
         n = max(1, opts.n_samples)
         mesh = self._sample_mesh(n)
@@ -475,6 +479,14 @@ class ViewCrafterPipeline:
 
         vio.save_video(frames, os.path.join(opts.save_dir, f"render{save_suffix}.mp4"))
         vio.save_pointcloud_ply(sel_p, sel_c, os.path.join(opts.save_dir, f"pcd{save_suffix}.ply"))
+        # SceneViz analog (dust3r/viz.py:118-155): cloud + trajectory frustums
+        from viewcrafter_tpu.utils.viz import save_scene_ply
+
+        save_scene_ply(
+            os.path.join(opts.save_dir, f"scene{save_suffix}.ply"),
+            sel_p, sel_c, np.asarray(c2ws),
+            focals=[float(focal)] * len(c2ws), imsizes=[(w, h)] * len(c2ws),
+        )
         result = self.run_diffusion(frames)
         vio.save_video((result + 1.0) / 2.0, os.path.join(opts.save_dir, f"diffusion{save_suffix}.mp4"))
         return result
