@@ -101,3 +101,85 @@ def test_render_trajectory_batches_views():
     assert imgs.shape == (2, H, W, 3)
     single = rasterize_points(pts, cols, w2cs[1], K_INTR, H, W, radius_ndc=0.05)
     np.testing.assert_allclose(np.asarray(imgs[1]), np.asarray(single), atol=1e-6)
+
+
+def test_bucketed_render_matches_unbucketed():
+    """Padding the cloud to a bucket (with the tail masked) is invisible in
+    the output; only the compiled program's shape changes."""
+    import numpy as np
+
+    from viewcrafter_tpu.ops.rasterize import bucket_size, render_trajectory
+
+    rng = np.random.default_rng(5)
+    n = 777
+    pts = np.stack([
+        rng.uniform(-1, 1, n), rng.uniform(-0.6, 0.6, n), rng.uniform(1.5, 4.0, n),
+    ], 1).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    K = np.array([[60.0, 0, 32.0], [0, 60.0, 18.0], [0, 0, 1.0]], np.float32)
+    w2cs = np.broadcast_to(np.eye(4, dtype=np.float32), (2, 4, 4))
+
+    img_plain = np.asarray(render_trajectory(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(w2cs), jnp.asarray(K),
+        36, 64, bucket=None))
+    img_bucket = np.asarray(render_trajectory(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(w2cs), jnp.asarray(K),
+        36, 64, bucket=1024))
+    np.testing.assert_allclose(img_bucket, img_plain, atol=1e-6)
+    assert bucket_size(777, 1024) == 1024
+    assert bucket_size(1025, 1024) == 2048
+    assert bucket_size(2048, 1024) == 2048
+
+
+def test_scatter_variant_matches_sort_variant():
+    """The K-round scatter-min rasterizer is pixel-identical to the
+    sort-based one (same K-nearest selection, same tie-breaks)."""
+    import numpy as np
+
+    from viewcrafter_tpu.ops.rasterize import (
+        rasterize_points, rasterize_points_scatter,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    pts = np.stack([
+        rng.uniform(-1, 1, n), rng.uniform(-0.6, 0.6, n), rng.uniform(1.2, 4.0, n),
+    ], 1).astype(np.float32)
+    # force depth collisions so tie-breaking is actually exercised
+    pts[:, 2] = np.round(pts[:, 2] * 50) / 50
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    K = np.array([[60.0, 0, 32.0], [0, 60.0, 18.0], [0, 0, 1.0]], np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+
+    a = np.asarray(rasterize_points(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(w2c), jnp.asarray(K), 36, 64))
+    b = np.asarray(rasterize_points_scatter(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(w2c), jnp.asarray(K), 36, 64))
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_chunked_matches_monolithic():
+    """Chunked sort + K-buffer merge is pixel-identical to the monolithic
+    sort, including depth tie-breaks across chunk boundaries."""
+    import numpy as np
+
+    from viewcrafter_tpu.ops.rasterize import (
+        rasterize_points, rasterize_points_chunked,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    pts = np.stack([
+        rng.uniform(-1, 1, n), rng.uniform(-0.6, 0.6, n), rng.uniform(1.2, 4.0, n),
+    ], 1).astype(np.float32)
+    pts[:, 2] = np.round(pts[:, 2] * 50) / 50  # force cross-chunk z ties
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    K = np.array([[60.0, 0, 32.0], [0, 60.0, 18.0], [0, 0, 1.0]], np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+
+    a = np.asarray(rasterize_points(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(w2c), jnp.asarray(K), 36, 64))
+    b = np.asarray(rasterize_points_chunked(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(w2c), jnp.asarray(K),
+        36, 64, chunk=1024))  # 5 chunks, padded tail
+    np.testing.assert_allclose(b, a, atol=1e-5)
