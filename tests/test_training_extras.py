@@ -322,3 +322,32 @@ def test_dust3r_train_step_learns_and_shards():
     _, sloss, _ = sstep(fresh(), batch)
     _, ref_loss, _ = step(fresh(), batch)
     np.testing.assert_allclose(float(sloss), float(ref_loss), rtol=2e-5)
+
+
+def test_unet_remat_grads_match():
+    """remat=True (reference per-block gradient checkpointing) changes only
+    memory, not values: loss and grads are identical."""
+    from viewcrafter_tpu.config import get_model_config
+    from viewcrafter_tpu.models.unet3d import UNet3D
+
+    cfg = get_model_config("viewcrafter_tiny")
+    t = cfg.video_length
+    h, w = cfg.diffusion.latent_size
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, t, h, w, 8))
+    ts = jnp.array([300.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 77, cfg.unet.context_dim))
+
+    m0 = UNet3D(cfg=cfg.unet, dtype=jnp.float32)
+    m1 = UNet3D(cfg=cfg.unet, dtype=jnp.float32, remat=True)
+    params = m0.init(jax.random.PRNGKey(2), x, ts, ctx)
+
+    def loss(m):
+        def f(p):
+            return jnp.mean(m.apply(p, x, ts, ctx) ** 2)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(m0))(params)
+    l1, g1 = jax.value_and_grad(loss(m1))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)

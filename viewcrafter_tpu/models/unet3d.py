@@ -380,10 +380,16 @@ class Upsample(nn.Module):
 class UNet3D(nn.Module):
     """Full denoiser. Input x: (B, T, H, W, in_channels) — the noisy latent
     channel-concatenated with the rendered-guidance latent (`hybrid`
-    conditioning, ddpm3d.py:1437-1443). Output: (B, T, H, W, out_channels) v-pred."""
+    conditioning, ddpm3d.py:1437-1443). Output: (B, T, H, W, out_channels) v-pred.
+
+    remat=True rematerializes every transformer / ResBlock in the backward
+    pass (the reference's per-block gradient checkpointing,
+    lvdm/common.py:81-94 + attention.py:231-239; disabled at inference there
+    too) — required to fit flagship-scale training activations."""
 
     cfg: UNetConfig = UNetConfig()
     dtype: Dtype = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, timesteps, context, fs=None, attn_cache=None,
@@ -430,9 +436,21 @@ class UNet3D(nn.Module):
 
         h = x.reshape(b * t, hh, ww, x.shape[-1]).astype(self.dtype)
 
+        # gradient checkpointing: only the plain (cache-free) call signature
+        # is remat-wrapped — PAB caching is an inference-only feature
+        use_remat = self.remat and cache is _NO_CACHE
+        SpatialT = nn.remat(SpatialTransformer) if use_remat else SpatialTransformer
+        TemporalT = nn.remat(TemporalTransformer) if use_remat else TemporalTransformer
+        ResB = (nn.remat(ResBlock, static_argnums=(3,)) if use_remat else ResBlock)
+
+        def run_spatial(mod, h, ctx_, site):
+            if use_remat:
+                return mod(h, ctx_)
+            return mod(h, ctx_, cache=cache, site=site)
+
         def spatial(ch, ds, name):
             heads = ch // cfg.num_head_channels
-            return SpatialTransformer(
+            return SpatialT(
                 channels=ch, heads=heads, dim_head=cfg.num_head_channels,
                 depth=cfg.transformer_depth, context_dim=cfg.context_dim,
                 image_cross_attention=cfg.image_cross_attention, dtype=self.dtype, name=name,
@@ -440,7 +458,7 @@ class UNet3D(nn.Module):
 
         def temporal(ch, name, heads=None):
             heads = heads if heads is not None else ch // cfg.num_head_channels
-            return TemporalTransformer(
+            return TemporalT(
                 channels=ch, heads=heads, dim_head=cfg.num_head_channels,
                 depth=cfg.transformer_depth, causal=cfg.use_causal_attention,
                 dtype=self.dtype, name=name,
@@ -449,6 +467,8 @@ class UNet3D(nn.Module):
         def run_temporal(mod, h, site):
             bt, sh, sw, c = h.shape
             hv = h.reshape(b, t, sh, sw, c)
+            if use_remat:  # remat call args must be arrays: defaults apply
+                return mod(hv).reshape(bt, sh, sw, c)
             return mod(hv, cache=cache, site=site).reshape(bt, sh, sw, c)
 
         # --- input blocks ----------------------------------------------------
@@ -463,12 +483,12 @@ class UNet3D(nn.Module):
         ds = 1
         for level, mult in enumerate(cfg.channel_mult):
             for j in range(cfg.num_res_blocks):
-                h = ResBlock(mult * mc, use_temporal_conv=cfg.temporal_conv,
+                h = ResB(mult * mc, use_temporal_conv=cfg.temporal_conv,
                              dtype=self.dtype, name=f"down_{level}_{j}_res")(h, emb, b)
                 ch = mult * mc
                 if ds in cfg.attention_resolutions:
-                    h = spatial(ch, ds, f"down_{level}_{j}_spatial")(
-                        h, ctx, cache=cache, site=f"down_{level}_{j}_spatial")
+                    h = run_spatial(spatial(ch, ds, f"down_{level}_{j}_spatial"),
+                                    h, ctx, f"down_{level}_{j}_spatial")
                     if cfg.temporal_attention:
                         h = run_temporal(temporal(ch, f"down_{level}_{j}_temporal"), h,
                                          f"down_{level}_{j}_temporal")
@@ -479,23 +499,23 @@ class UNet3D(nn.Module):
                 ds *= 2
 
         # --- middle ----------------------------------------------------------
-        h = ResBlock(ch, use_temporal_conv=cfg.temporal_conv, dtype=self.dtype, name="mid_res1")(h, emb, b)
-        h = spatial(ch, ds, "mid_spatial")(h, ctx, cache=cache, site="mid_spatial")
+        h = ResB(ch, use_temporal_conv=cfg.temporal_conv, dtype=self.dtype, name="mid_res1")(h, emb, b)
+        h = run_spatial(spatial(ch, ds, "mid_spatial"), h, ctx, "mid_spatial")
         if cfg.temporal_attention:
             h = run_temporal(temporal(ch, "mid_temporal"), h, "mid_temporal")
-        h = ResBlock(ch, use_temporal_conv=cfg.temporal_conv, dtype=self.dtype, name="mid_res2")(h, emb, b)
+        h = ResB(ch, use_temporal_conv=cfg.temporal_conv, dtype=self.dtype, name="mid_res2")(h, emb, b)
 
         # --- output blocks ---------------------------------------------------
         for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
             for j in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResBlock(mult * mc, use_temporal_conv=cfg.temporal_conv,
+                h = ResB(mult * mc, use_temporal_conv=cfg.temporal_conv,
                              dtype=self.dtype, name=f"up_{level}_{j}_res")(h, emb, b)
                 ch = mult * mc
                 if ds in cfg.attention_resolutions:
-                    h = spatial(ch, ds, f"up_{level}_{j}_spatial")(
-                        h, ctx, cache=cache, site=f"up_{level}_{j}_spatial")
+                    h = run_spatial(spatial(ch, ds, f"up_{level}_{j}_spatial"),
+                                    h, ctx, f"up_{level}_{j}_spatial")
                     if cfg.temporal_attention:
                         h = run_temporal(temporal(ch, f"up_{level}_{j}_temporal"), h,
                                          f"up_{level}_{j}_temporal")

@@ -45,6 +45,7 @@ class TrainLoopConfig:
     grad_clip: float = 1.0
     ema_decay: float = 0.9999  # LitEma default (lvdm/ema.py:8)
     use_ema: bool = True
+    remat: bool = True  # per-block gradient checkpointing (reference parity)
     max_steps: int = 1000
     ckpt_dir: Optional[str] = None
     save_every: int = 500
@@ -101,7 +102,9 @@ class TrainLoop:
         self.model_cfg = model_cfg
         self.cfg = loop_cfg
         self.mesh = mesh
-        self.model = model or UNet3D(cfg=model_cfg.unet)
+        # remat = the reference's per-block gradient checkpointing
+        # (lvdm/common.py:81-94) — needed for flagship-scale activations
+        self.model = model or UNet3D(cfg=model_cfg.unet, remat=loop_cfg.remat)
         self.sched = DiffusionSchedule.create(
             timesteps=model_cfg.diffusion.timesteps,
             beta_schedule=model_cfg.diffusion.beta_schedule,
