@@ -9,14 +9,25 @@ Usage:
 
 import argparse
 import json
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from viewcrafter_tpu.data.video_reader import read_video
 from viewcrafter_tpu.utils import metrics
 
 
 def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_metrics"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     p = argparse.ArgumentParser()
     p.add_argument("--pred", required=True, help="generated video (mp4 or frame dir)")
     p.add_argument("--gt", required=True, help="ground-truth video (mp4 or frame dir)")

@@ -74,3 +74,33 @@ def test_video_metrics_always_reports_lpips_key():
     if not lpips_available():
         assert m["lpips"] is None
     assert m["psnr"] > 0 and 0 <= m["ssim"] <= 1
+
+
+def test_compute_metrics_script(tmp_path):
+    """scripts/compute_metrics.py end-to-end on PNG frame dirs."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for name in ("pred", "gt"):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(3):
+            arr = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i:04d}.png")
+
+    repo = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "compute_metrics.py"),
+         "--pred", str(tmp_path / "pred"), "--gt", str(tmp_path / "gt")],
+        capture_output=True, text=True, cwd=str(repo), timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.strip().startswith("{")][-1]
+    m = json.loads(line)
+    assert set(m) >= {"psnr", "ssim", "lpips"}
+    assert m["lpips"] is None  # no weights -> explicitly skipped
