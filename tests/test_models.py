@@ -67,6 +67,27 @@ def test_unet_time_sensitivity(tiny_unet):
     assert np.abs(np.asarray(y1) - np.asarray(y2)).max() > 1e-6
 
 
+def test_unet_shared_prefix_matches_full_batch(tiny_unet):
+    """shared_prefix=K (CFG-prefix dedup) must reproduce the plain batched
+    output exactly when the K leading branches of x/ts are identical (the
+    batched-CFG layout the sampler builds, sampling/ddim.py:106-114)."""
+    model, params = tiny_unet
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.where(jnp.all(p == 0), jnp.full_like(p, 0.01), p), params
+    )
+    t = 4
+    x1 = jax.random.normal(jax.random.PRNGKey(6), (1, t, 8, 8, 8))
+    x = jnp.tile(x1, (2, 1, 1, 1, 1))  # two identical CFG branches
+    ctx = jax.random.normal(jax.random.PRNGKey(7), (2, 77 + t * 16, 16))
+    ts = jnp.array([500.0, 500.0])
+    y_ref = model.apply(params, x, ts, ctx)
+    y_dedup = model.apply(params, x, ts, ctx, shared_prefix=2)
+    np.testing.assert_allclose(np.asarray(y_dedup), np.asarray(y_ref), atol=1e-6)
+    # odd batch: dedup silently disabled, plain path
+    y3 = model.apply(params, x[:1], ts[:1], ctx[:1], shared_prefix=2)
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y_ref[:1]), atol=1e-6)
+
+
 def test_vae_roundtrip_shapes():
     vae = AutoencoderKL(ch=32, ch_mult=(1, 2), num_res_blocks=1, dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))

@@ -52,10 +52,27 @@ def test_qualification():
     assert supports_fused((2, 25, 9216, 5, 64))  # flagship ds1
     assert supports_fused((2, 25, 2304, 10, 64))  # flagship ds2
     assert supports_fused((2, 25, 2560, 5, 64))  # 512 model ds1
-    assert not supports_fused((2, 25, 100, 5, 64))  # untileable S
+    assert not supports_fused((2, 25, 101, 1, 64))  # untileable S*H (prime)
     assert not supports_fused((2, 25, 9216, 5, 64), mask=object())
     assert not supports_fused((2, 25, 9216, 5, 80))  # lane-hostile D
-    assert _pick_tile(9216 * 5) == 64 and _pick_tile(2304 * 10) == 64
+    # T=25 pads to 32 sublanes and packs G=4 problems per 128-wide matmul
+    assert _pick_tile(9216 * 5, 25) == 64 and _pick_tile(2304 * 10, 25) == 64
+    assert _pick_tile(9216 * 5, 16) == 96  # t_pad=16 -> G=8, 16-frame model
+
+
+def test_fused_packed_group_exact():
+    """The G-packed block-diagonal path (T=25 -> G=5) matches per-problem
+    attention bit-for-bit in spirit: masked rows renormalize within their own
+    T-block."""
+    rng = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(rng, 3)
+    shape = (1, 25, 16, 5, 64)  # n=80 -> tile 80, one packed block per grid cell
+    q = jax.random.normal(kq, shape, jnp.float32)
+    k = jax.random.normal(kk, shape, jnp.float32)
+    v = jax.random.normal(kv, shape, jnp.float32)
+    out = temporal_attention_fused(q, k, v, interpret=True)
+    ref = _ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
 def test_model_path_unchanged_on_cpu():

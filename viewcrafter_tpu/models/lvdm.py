@@ -296,7 +296,11 @@ class VideoDiffusionEngine:
         else:
             def denoise(x_k, t_batch):
                 x_in = jnp.concatenate([x_k, z_cond_k], axis=-1)
-                return self.unet.apply(params.unet, x_in, t_batch, ctx_flat, fs=fs_batch)
+                # shared_prefix=k: the sampler tiles one latent over the K CFG
+                # branches, so the UNet computes the context-free prefix once
+                return self.unet.apply(
+                    params.unet, x_in, t_batch, ctx_flat, fs=fs_batch, shared_prefix=k
+                )
 
             def denoise_full(x_k, t_batch):
                 x_in = jnp.concatenate([x_k, z_cond_k], axis=-1)
