@@ -97,10 +97,35 @@ def test_render_trajectory_batches_views():
     pts = jnp.asarray(rng.normal(size=(100, 3)) * 0.3 + np.array([0, 0, 2.0]), jnp.float32)
     cols = jnp.asarray(rng.uniform(size=(100, 3)), jnp.float32)
     w2cs = jnp.stack([EYE, EYE.at[0, 3].set(0.1)])
-    imgs = render_trajectory(pts, cols, w2cs, K_INTR, H, W, radius_ndc=0.05)
+    imgs = render_trajectory(pts, cols, w2cs, K_INTR, H, W, radius_ndc=0.05,
+                             z_order="exact")
     assert imgs.shape == (2, H, W, 3)
     single = rasterize_points(pts, cols, w2cs[1], K_INTR, H, W, radius_ndc=0.05)
     np.testing.assert_allclose(np.asarray(imgs[1]), np.asarray(single), atol=1e-6)
+
+
+def test_packed_z_order_bounded_error():
+    """The packed-key single-sort path ("auto"/"packed", the trajectory
+    default) only reorders same-pixel candidates whose z agree to ~3%; the
+    composited image error stays small and most pixels are bit-identical."""
+    rng = np.random.default_rng(3)
+    n = 5000
+    pts = np.stack([
+        rng.uniform(-1, 1, n), rng.uniform(-0.6, 0.6, n), rng.uniform(1.2, 4.0, n),
+    ], 1).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    K = np.array([[60.0, 0, 32.0], [0, 60.0, 18.0], [0, 0, 1.0]], np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    exact = np.asarray(rasterize_points(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(w2c), jnp.asarray(K),
+        36, 64, z_order="exact"))
+    packed = np.asarray(rasterize_points(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(w2c), jnp.asarray(K),
+        36, 64, z_order="packed"))
+    # identical K-nearest SETS; only intra-pixel order of near-equal z differs
+    err = np.abs(packed - exact)
+    assert np.mean(err) < 5e-3, np.mean(err)
+    assert np.mean(np.all(err < 1e-6, axis=-1)) > 0.9  # >90% of pixels exact
 
 
 def test_bucketed_render_matches_unbucketed():
