@@ -300,6 +300,78 @@ def test_dust3r_golden():
     assert_close(np.asarray(out["conf2"]), res2["conf"].numpy(), name="dust3r conf2")
 
 
+def test_dust3r_manyar_golden():
+    """ManyAR portrait support vs the reference ManyAR_PatchEmbed +
+    transpose_to_landscape pipeline (dust3r/patch_embed.py:32-70,
+    dust3r/utils/misc.py:54-97): a mixed batch where view1 = [landscape,
+    portrait] and view2 = [portrait, landscape], portrait images stored
+    transposed-to-landscape with true_shape recording the real orientation."""
+    from dust3r.model import AsymmetricCroCo3DStereo
+
+    from viewcrafter_tpu.config import Dust3rConfig
+    from viewcrafter_tpu.models.dust3r import Dust3rModel
+    from viewcrafter_tpu.utils.checkpoint import translate_dust3r_checkpoint
+
+    H, W = 32, 64
+    inf = float("inf")
+    ref = AsymmetricCroCo3DStereo(
+        output_mode="pts3d", head_type="dpt",
+        depth_mode=("exp", -inf, inf), conf_mode=("exp", 1, inf),
+        landscape_only=True, patch_embed_cls="ManyAR_PatchEmbed",
+        img_size=(H, W), patch_size=16,
+        enc_embed_dim=64, enc_depth=4, enc_num_heads=2,
+        dec_embed_dim=48, dec_depth=12, dec_num_heads=2,
+        mlp_ratio=4, pos_embed="RoPE100",
+    ).eval()
+    randomize_(ref, 31)
+
+    cfg = Dust3rConfig(
+        img_size=(H, W), patch_size=16,
+        enc_embed_dim=64, enc_depth=4, enc_num_heads=2,
+        dec_embed_dim=48, dec_depth=12, dec_num_heads=2,
+    )
+    params = translate_dust3r_checkpoint(ref.state_dict(), cfg=cfg)
+    model = Dust3rModel(cfg=cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(7)
+    img1 = rng.standard_normal((2, 3, H, W), np.float32) * 0.5
+    img2 = rng.standard_normal((2, 3, H, W), np.float32) * 0.5
+    # per-image true shapes: (h, w); h > w marks portrait (stored transposed)
+    ts1 = torch.tensor([[H, W], [W, H]], dtype=torch.int32)
+    ts2 = torch.tensor([[W, H], [H, W]], dtype=torch.int32)
+    with torch.no_grad():
+        res1, res2 = ref(
+            {"img": torch.from_numpy(img1), "true_shape": ts1, "instance": ["0", "1"]},
+            {"img": torch.from_numpy(img2), "true_shape": ts2, "instance": ["2", "3"]},
+        )
+
+    j1 = jnp.transpose(jnp.asarray(img1), (0, 2, 3, 1))
+    j2 = jnp.transpose(jnp.asarray(img2), (0, 2, 3, 1))
+    out = model.apply(
+        params, j1, j2,
+        is_portrait1=jnp.array([False, True]),
+        is_portrait2=jnp.array([True, False]),
+    )
+    assert_close(np.asarray(out["pts3d1"]), res1["pts3d"].numpy(), name="manyar pts3d1")
+    assert_close(np.asarray(out["conf1"]), res1["conf"].numpy(), name="manyar conf1")
+    assert_close(
+        np.asarray(out["pts3d2_in_view1"]), res2["pts3d_in_other_view"].numpy(),
+        name="manyar pts3d2",
+    )
+    assert_close(np.asarray(out["conf2"]), res2["conf"].numpy(), name="manyar conf2")
+
+    # all-portrait static fast path == per-image array path
+    out_static = model.apply(params, j1, j2, is_portrait1=True, is_portrait2=True)
+    out_array = model.apply(
+        params, j1, j2,
+        is_portrait1=jnp.array([True, True]), is_portrait2=jnp.array([True, True]),
+    )
+    assert_close(
+        np.asarray(out_static["pts3d1"]), np.asarray(out_array["pts3d1"]),
+        tol=1e-6, name="manyar static-vs-array",
+    )
+
+
 # ---------------------------------------------------------------------------
 # CLIP towers vs a hand-built torch oracle with open_clip's architecture
 # ---------------------------------------------------------------------------

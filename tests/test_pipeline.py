@@ -240,3 +240,87 @@ def test_iterative_1drc_mode(tmp_path_factory):
     results = p.run()
     assert len(results) == 2
     assert all(r.shape == (4, 32, 64, 3) for r in results)
+
+
+def test_portrait_end_to_end(tmp_path_factory):
+    """Portrait inputs ride the ManyAR path (dust3r/patch_embed.py:32-70):
+    run_dust3r stores them transposed-to-landscape with a static orientation
+    flag and un-transposes the predicted maps, so alignment, rendering and
+    diffusion all operate in true portrait orientation."""
+    import dataclasses as dc
+
+    from viewcrafter_tpu.config import get_model_config
+
+    tmp = tmp_path_factory.mktemp("vc_portrait")
+    img = os.path.join(tmp, "scene.png")
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, size=(128, 96, 3), dtype=np.uint8)  # portrait
+    arr[40:90, 30:60] = [60, 180, 60]
+    Image.fromarray(arr).save(img)
+
+    tiny = get_model_config("viewcrafter_tiny")
+    portrait_cfg = dc.replace(
+        tiny, name="viewcrafter_tiny_portrait", height=64, width=32,
+        diffusion=dc.replace(tiny.diffusion, latent_size=(8, 4)),
+    )
+    opts = InferenceOptions(
+        image_dir=img,
+        out_dir=str(tmp / "out"),
+        exp_name="p",
+        mode="single_view_target",
+        model="viewcrafter_tiny",
+        ddim_steps=2,
+        video_length=4,
+        dust3r_size=64,
+        niter=5,
+        batch_size=2,
+        d_theta=[5.0],
+        d_phi=[10.0],
+        d_r=[-0.1],
+    )
+    p = ViewCrafterPipeline(opts, model_cfg=portrait_cfg, dust3r_cfg=TINY_DUST3R)
+    # loader must produce portrait dust3r inputs (h > w, multiples of 16)
+    p.load_inputs()
+    h, w = p.images[0].img.shape[:2]
+    assert h > w and h % 16 == 0 and w % 16 == 0, (h, w)
+    result = p.run()
+    assert result.shape == (4, 64, 32, 3)
+    assert np.isfinite(result).all()
+
+
+def test_export_pc_knobs(tmp_path):
+    """--reduce_pc subsamples ::3 and --mask_pc=False exports the full cloud
+    (pvd_utils.py:476-504 get_pc semantics)."""
+    from viewcrafter_tpu.pipeline import AlignedScene
+
+    def ply_vertex_count(path):
+        with open(path, "rb") as f:
+            for line in f:
+                if line.startswith(b"element vertex"):
+                    return int(line.split()[-1])
+        raise AssertionError("no vertex element")
+
+    pts = np.random.default_rng(0).standard_normal((90, 3)).astype(np.float32)
+    cols = np.random.default_rng(1).uniform(size=(90, 3)).astype(np.float32)
+
+    opts = InferenceOptions(image_dir="x", out_dir=str(tmp_path), reduce_pc=True)
+    p = ViewCrafterPipeline(opts, init_models=False)
+    path = str(tmp_path / "a.ply")
+    p._export_pc(path, pts, cols)
+    assert ply_vertex_count(path) == 30  # ::3
+
+    # mask_pc=False: re-selects the FULL cloud from the scene
+    scene = AlignedScene(
+        poses=np.stack([np.eye(4)] * 2),
+        focals=np.ones(2), principal_points=np.ones((2, 2)),
+        depths=np.ones((2, 30, 3)),
+        pts3d=np.stack([pts.reshape(30, 3, 3)] * 2),
+        im_conf=np.ones((2, 30, 3)),
+        imgs=np.stack([cols.reshape(30, 3, 3)] * 2),
+        min_conf_thr=0.0,
+    )
+    opts2 = InferenceOptions(image_dir="x", out_dir=str(tmp_path), mask_pc=False)
+    p2 = ViewCrafterPipeline(opts2, init_models=False)
+    path2 = str(tmp_path / "b.ply")
+    p2._export_pc(path2, pts[:5], cols[:5], scene=scene)
+    assert ply_vertex_count(path2) == 180  # full 2x90, mask ignored

@@ -40,9 +40,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--d_r", nargs="+", type=float, default=[-0.2])
     p.add_argument("--d_x", nargs="+", type=float, default=[0.0])
     p.add_argument("--d_y", nargs="+", type=float, default=[0.0])
+    # mask_image is parsed for flag parity but dead in the reference too
+    # (infer_config.py:23 defines it; no call site reads opts.mask_image)
     p.add_argument("--mask_image", type=bool, default=False)
-    p.add_argument("--mask_pc", type=bool, default=True)
-    p.add_argument("--reduce_pc", type=bool, default=False)
+    p.add_argument("--mask_pc", type=bool, default=True,
+                   help="False: export PLYs unmasked (pvd_utils.py get_pc)")
+    p.add_argument("--reduce_pc", type=bool, default=False,
+                   help="subsample exported PLYs ::3 (pvd_utils.py get_pc)")
     p.add_argument("--bg_trd", type=float, default=0.0)
     p.add_argument("--dpt_trd", type=float, default=1.0)
     # diffusion

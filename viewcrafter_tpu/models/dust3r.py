@@ -142,18 +142,53 @@ class Dust3rEncoder(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, img):
-        """img: (B, H, W, 3), H/W multiples of 16 -> tokens (B, S, C), pos (B, S, 2)."""
+    def __call__(self, img, is_portrait=None):
+        """img: (B, H, W, 3) stored LANDSCAPE (W >= H), H/W multiples of 16
+        -> tokens (B, S, C), pos (B, S, 2).
+
+        is_portrait encodes the ManyAR convention (dust3r/patch_embed.py:32-70):
+        portrait images ride the batch stored transposed-to-landscape; their
+        patch embedding runs on the transposed (true-portrait) image and their
+        RoPE positions use the (wp, hp) grid. Accepted values:
+          - None / False: all landscape (PatchEmbedDust3R fast path)
+          - True: all portrait (static — single conv on the transposed image)
+          - (B,) bool array: mixed batch. TPU-first: both orientations are
+            computed and where-selected per image (static shapes, no host
+            sync) instead of the reference's boolean-mask scatter
+            (patch_embed.py:59-67) — the patch conv is <1% of the encoder.
+        """
         cfg = self.cfg
         b, h, w, _ = img.shape
         p = cfg.patch_size
-        x = nn.Conv(
+        conv = nn.Conv(
             cfg.enc_embed_dim, (p, p), strides=p, padding="VALID",
             dtype=self.dtype, param_dtype=jnp.float32, name="patch_embed",
-        )(img.astype(self.dtype))
+        )
         hp, wp = h // p, w // p
-        x = x.reshape(b, hp * wp, cfg.enc_embed_dim)
-        pos = jnp.broadcast_to(patch_positions(hp, wp)[None], (b, hp * wp, 2))
+        n = hp * wp
+        img = img.astype(self.dtype)
+
+        def embed_landscape():
+            x = conv(img).reshape(b, n, cfg.enc_embed_dim)
+            pos = jnp.broadcast_to(patch_positions(hp, wp)[None], (b, n, 2))
+            return x, pos
+
+        def embed_portrait():
+            # true-portrait pixels: un-transpose the stored landscape tensor
+            x = conv(img.transpose(0, 2, 1, 3)).reshape(b, n, cfg.enc_embed_dim)
+            pos = jnp.broadcast_to(patch_positions(wp, hp)[None], (b, n, 2))
+            return x, pos
+
+        if is_portrait is None or is_portrait is False:
+            x, pos = embed_landscape()
+        elif is_portrait is True:
+            x, pos = embed_portrait()
+        else:
+            flag = jnp.asarray(is_portrait).reshape(b)
+            xl, posl = embed_landscape()
+            xp, posp = embed_portrait()
+            x = jnp.where(flag[:, None, None], xp, xl)
+            pos = jnp.where(flag[:, None, None], posp, posl)
         for i in range(cfg.enc_depth):
             x = EncoderBlock(
                 cfg.enc_num_heads, cfg.mlp_ratio, cfg.rope_freq, dtype=self.dtype, name=f"block_{i}"
@@ -311,16 +346,52 @@ class Dust3rModel(nn.Module):
         feats = [enc_out] + list(dec_outs)
         return [feats[0], feats[d * 2 // 4], feats[d * 3 // 4], feats[d]]
 
-    def __call__(self, img1, img2):
+    def _head_raw(self, head, feats, h, w, is_portrait):
+        """Run a head honoring ManyAR orientation (misc.py:54-97): portrait
+        images predict on the (w, h) token grid, then the map transposes back
+        to the stored landscape layout. Mixed batches compute both and
+        where-select (static shapes; heads are ~2% of the network)."""
+        if is_portrait is None or is_portrait is False:
+            return head(feats, h, w)
+        if is_portrait is True:
+            return head(feats, w, h).transpose(0, 2, 1, 3)
+        flag = jnp.asarray(is_portrait).reshape(-1)
+        raw_l = head(feats, h, w)
+        raw_p = head(feats, w, h).transpose(0, 2, 1, 3)
+        return jnp.where(flag[:, None, None, None], raw_p, raw_l)
+
+    def __call__(self, img1, img2, is_portrait1=None, is_portrait2=None):
+        """img1/img2: (B, H, W, 3) stored landscape. is_portrait1/2: ManyAR
+        orientation flags (see Dust3rEncoder) — None/False, True, or (B,) bool.
+        Output maps are in the STORED (landscape) layout like the reference
+        (transpose_to_landscape, misc.py:54-97); the caller un-transposes
+        portrait maps to true orientation."""
         b, h, w, _ = img1.shape
         # siamese encode: both views through one batched pass (model.py:97-106)
         both = jnp.concatenate([img1, img2], axis=0)
-        tokens, pos = self.encoder(both)
+        if is_portrait1 is None and is_portrait2 is None:
+            flag_both = None
+            flag1 = flag2 = None
+        else:
+            def as_arr(f):
+                if f is None:
+                    f = False
+                if isinstance(f, bool):
+                    return jnp.full((b,), f)
+                return jnp.asarray(f).reshape(b)
+            flag1, flag2 = as_arr(is_portrait1), as_arr(is_portrait2)
+            if is_portrait1 is is_portrait2 and isinstance(is_portrait1, bool):
+                flag_both = is_portrait1  # static uniform batch
+            else:
+                flag_both = jnp.concatenate([flag1, flag2], axis=0)
+        tokens, pos = self.encoder(both, is_portrait=flag_both)
         f1, f2 = jnp.split(tokens, 2, axis=0)
         pos1, pos2 = jnp.split(pos, 2, axis=0)
         outs1, outs2 = self.decoder(f1, pos1, f2, pos2)
-        raw1 = self.head1(self._hooked(f1, outs1), h, w)
-        raw2 = self.head2(self._hooked(f2, outs2), h, w)
+        p1 = is_portrait1 if isinstance(is_portrait1, (bool, type(None))) else flag1
+        p2 = is_portrait2 if isinstance(is_portrait2, (bool, type(None))) else flag2
+        raw1 = self._head_raw(self.head1, self._hooked(f1, outs1), h, w, p1)
+        raw2 = self._head_raw(self.head2, self._hooked(f2, outs2), h, w, p2)
         pts1, conf1 = _postprocess(raw1)
         pts2, conf2 = _postprocess(raw2)  # view2 pts expressed in view1 frame
         return {

@@ -137,7 +137,7 @@ class ViewCrafterPipeline:
         self.dust3r_params = None
         self.lvdm_params: Optional[LVDMParams] = None
         self.loaded_real_ckpt = False  # True -> tokenizer fallback is an error
-        self._dust3r_apply = jax.jit(self.dust3r.apply)
+        self._dust3r_apply = jax.jit(self.dust3r.apply, static_argnames=("is_portrait1", "is_portrait2"))
         if init_models:
             self.setup_models()
         # state per run
@@ -222,6 +222,15 @@ class ViewCrafterPipeline:
         pairs = make_pairs(n, scene_graph="complete", symmetrize=True)
         imgs = np.stack([im.img for im in images])  # (N, H, W, 3) [-1,1]
 
+        # ManyAR portrait path (dust3r/patch_embed.py:32-70): the network runs
+        # on landscape-stored tensors; portrait inputs ride transposed with a
+        # STATIC orientation flag (one jitted program per orientation — the
+        # pipeline's views all share one crop so the flag is batch-uniform),
+        # and the predicted maps transpose back to true orientation below.
+        portrait = imgs.shape[1] > imgs.shape[2]
+        if portrait:
+            imgs = imgs.transpose(0, 2, 1, 3)
+
         chunk = max(1, self.opts.batch_size)
         pred_i, pred_j, conf_i, conf_j = [], [], [], []
         for s in range(0, len(pairs), chunk):
@@ -230,13 +239,21 @@ class ViewCrafterPipeline:
             ii = [i for i, _ in batch] + [batch[-1][0]] * pad
             jj = [j for _, j in batch] + [batch[-1][1]] * pad
             out = self._dust3r_apply(
-                self.dust3r_params, jnp.asarray(imgs[ii]), jnp.asarray(imgs[jj])
+                self.dust3r_params, jnp.asarray(imgs[ii]), jnp.asarray(imgs[jj]),
+                is_portrait1=portrait, is_portrait2=portrait,
             )
             take = len(batch)
             pred_i.append(np.asarray(out["pts3d1"])[:take])
             pred_j.append(np.asarray(out["pts3d2_in_view1"])[:take])
             conf_i.append(np.asarray(out["conf1"])[:take])
             conf_j.append(np.asarray(out["conf2"])[:take])
+
+        if portrait:  # stored-landscape maps -> true portrait orientation
+            imgs = imgs.transpose(0, 2, 1, 3)
+            pred_i = [p.transpose(0, 2, 1, 3) for p in pred_i]
+            pred_j = [p.transpose(0, 2, 1, 3) for p in pred_j]
+            conf_i = [c.transpose(0, 2, 1) for c in conf_i]
+            conf_j = [c.transpose(0, 2, 1) for c in conf_j]
 
         graph = SceneGraph(
             edges=np.asarray(pairs),
@@ -312,6 +329,19 @@ class ViewCrafterPipeline:
                 sel_p.append(pts[i].reshape(-1, 3)[m])
                 sel_c.append(cols[i].reshape(-1, 3)[m])
         return np.concatenate(sel_p), np.concatenate(sel_c)
+
+    def _export_pc(self, path: str, sel_p: np.ndarray, sel_c: np.ndarray,
+                   scene: Optional[AlignedScene] = None):
+        """PLY export honoring --mask_pc / --reduce_pc (pvd_utils.py:476-504):
+        mask_pc=False exports the FULL unmasked cloud even in masked modes
+        (the reference's get_pc skips the mask), reduce_pc subsamples every
+        3rd point (get_pc ::3). --mask_image is parsed for CLI parity but is
+        dead upstream too (infer_config.py:23 defines it; nothing reads it)."""
+        if not self.opts.mask_pc and scene is not None:
+            sel_p, sel_c = self._selected_points(scene, None)
+        if self.opts.reduce_pc:
+            sel_p, sel_c = sel_p.reshape(-1, 3)[::3], sel_c.reshape(-1, 3)[::3]
+        vio.save_pointcloud_ply(sel_p, sel_c, path)
 
     def _conf_bg_masks(self, scene: AlignedScene) -> np.ndarray:
         """Conf + background-depth masks for multi-view point clouds
@@ -478,7 +508,7 @@ class ViewCrafterPipeline:
             frames[-1] = (self.img_ori + 1.0) / 2.0
 
         vio.save_video(frames, os.path.join(opts.save_dir, f"render{save_suffix}.mp4"))
-        vio.save_pointcloud_ply(sel_p, sel_c, os.path.join(opts.save_dir, f"pcd{save_suffix}.ply"))
+        self._export_pc(os.path.join(opts.save_dir, f"pcd{save_suffix}.ply"), sel_p, sel_c)
         # SceneViz analog (dust3r/viz.py:118-155): cloud + trajectory frustums
         from viewcrafter_tpu.utils.viz import save_scene_ply
 
@@ -535,7 +565,8 @@ class ViewCrafterPipeline:
         frames[0] = (cond_img + 1.0) / 2.0
 
         vio.save_video(frames, os.path.join(opts.save_dir, f"render{it}.mp4"))
-        vio.save_pointcloud_ply(sel_p, sel_c, os.path.join(opts.save_dir, f"pcd{it}.ply"))
+        self._export_pc(os.path.join(opts.save_dir, f"pcd{it}.ply"), sel_p, sel_c,
+                        scene=scene_pts_override(scene, pts))
         result = self.run_diffusion(frames)
         vio.save_video((result + 1.0) / 2.0, os.path.join(opts.save_dir, f"diffusion{it}.mp4"))
         return result
@@ -558,7 +589,7 @@ class ViewCrafterPipeline:
             frames[i * (opts.video_length - 1)] = (self.img_gts[i] + 1.0) / 2.0
 
         vio.save_video(frames, os.path.join(opts.save_dir, "render.mp4"))
-        vio.save_pointcloud_ply(sel_p, sel_c, os.path.join(opts.save_dir, "pcd.ply"))
+        self._export_pc(os.path.join(opts.save_dir, "pcd.ply"), sel_p, sel_c, scene=scene)
 
         results = []
         for i in range(n - 1):
