@@ -89,7 +89,7 @@ def test_pnp_recovers_pose():
     np.testing.assert_allclose(c2w[:3, 3], c2w_t, atol=1e-3)
 
 
-def _synthetic_graph(n=3, noise=0.0, seed=3):
+def _synthetic_graph(n=3, noise=0.0, seed=3, curved=False):
     """Perfectly consistent pairwise predictions from a known scene."""
     rng = np.random.default_rng(seed)
     poses = []
@@ -99,8 +99,12 @@ def _synthetic_graph(n=3, noise=0.0, seed=3):
         m[:3, :3] = R
         m[:3, 3] = [0.3 * k, 0.05 * k, -0.1 * k]
         poses.append(m)
+    # curved=True adds non-planar relief: a depth plane (the default) leaves
+    # pose/focal/depth gauge ambiguities, so multi-view recovery tests need
+    # real 3D structure to be well-posed
+    bump = (lambda u, v: 0.4 * np.sin(0.9 * u) * np.cos(1.3 * v)) if curved else (lambda u, v: 0.0)
     pts_cam = [
-        _camera_grid_pts(lambda u, v, k=k: 2.0 + 0.05 * u + 0.02 * v + 0.1 * k)
+        _camera_grid_pts(lambda u, v, k=k: 2.0 + 0.05 * u + 0.02 * v + 0.1 * k + bump(u, v))
         for k in range(n)
     ]
     pts_world = [
@@ -191,3 +195,26 @@ def test_pair_viewer_recovers_relative_pose():
     # focals close to the synthetic camera's (from _camera_grid_pts geometry)
     assert np.all(scene.focals > 0)
     assert np.isfinite(scene.depths).all()
+
+
+def test_eight_view_alignment_recovers_poses():
+    """n=8 (56-edge complete graph) alignment correctness: MST init over the
+    full edge set + optimize recover every ground-truth relative pose
+    (VERDICT r2: no test covered n>4; _edge_key is now a dict LUT)."""
+    graph, gt_poses = _synthetic_graph(n=8, noise=0.002, seed=11, curved=True)
+    aligner = GlobalAligner(graph, AlignConfig(niter=60))
+    params = aligner.init_mst()
+    params, losses = aligner.optimize(params)
+    assert np.asarray(losses)[-1] < np.asarray(losses)[0]
+    est = np.asarray(pose_vec_to_mat(params["im_poses"]))
+    for k in range(1, 8):
+        rel_est = np.linalg.inv(est[0]) @ est[k]
+        rel_gt = np.linalg.inv(gt_poses[0]) @ gt_poses[k]
+        R_err = rel_est[:3, :3].T @ rel_gt[:3, :3]
+        ang = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+        assert ang < 2.0, f"view {k}: rotation error {ang:.2f} deg"
+        # translation up to global scale gauge: compare directions + ratio
+        tn_est, tn_gt = np.linalg.norm(rel_est[:3, 3]), np.linalg.norm(rel_gt[:3, 3])
+        if tn_gt > 1e-3:
+            cos = rel_est[:3, 3] @ rel_gt[:3, 3] / max(tn_est * tn_gt, 1e-9)
+            assert cos > 0.999, f"view {k}: translation direction cos {cos:.4f}"

@@ -166,10 +166,13 @@ class GlobalAligner:
     # ------------------------------------------------------------------
 
     def _edge_key(self, i: int, j: int) -> int:
-        for e, (a, b) in enumerate(self.graph.edges):
-            if (a, b) == (i, j):
-                return e
-        raise KeyError((i, j))
+        try:
+            lut = self._edge_lut
+        except AttributeError:
+            lut = self._edge_lut = {
+                (int(a), int(b)): e for e, (a, b) in enumerate(self.graph.edges)
+            }
+        return lut[(int(i), int(j))]
 
     def init_mst(self, seed: int = 0) -> Dict[str, jnp.ndarray]:
         """Minimum-spanning-tree initialization (init_im_poses.py:122-217)."""
@@ -315,8 +318,14 @@ class GlobalAligner:
         pw = self._pw_mats(params)  # (E, 4, 4)
         aligned_i = geotrf(pw[:, None], self._pred_i[:, None])[:, 0]
         aligned_j = geotrf(pw[:, None], self._pred_j[:, None])[:, 0]
-        li = jnp.sum(jnp.linalg.norm(proj[self._ei] - aligned_i, axis=-1) * self._weight_i)
-        lj = jnp.sum(jnp.linalg.norm(proj[self._ej] - aligned_j, axis=-1) * self._weight_j)
+        # eps-safe norm: d||x||/dx is NaN at x=0, and an accurate init makes
+        # many residuals bitwise zero (anchor-view pts3d IS pred_i)
+        def dist(a, b):
+            d = a - b
+            return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-16)
+
+        li = jnp.sum(dist(proj[self._ei], aligned_i) * self._weight_i)
+        lj = jnp.sum(dist(proj[self._ej], aligned_j) * self._weight_j)
         return (li + lj) / self._total_area
 
     @functools.partial(jax.jit, static_argnames=("self", "niter", "schedule", "lr", "lr_min"))

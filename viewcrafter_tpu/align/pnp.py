@@ -47,6 +47,67 @@ def _dlt_pose(pts3d: np.ndarray, pts2d_norm: np.ndarray) -> Optional[np.ndarray]
     return np.concatenate([R, t[:, None]], axis=1)
 
 
+def _refine_pose_gn(
+    pts3d: np.ndarray, pts2d_norm: np.ndarray, R: np.ndarray, t: np.ndarray,
+    iters: int = 15,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Gauss-Newton on the normalized reprojection error (pose-only, 6-DoF,
+    left-multiplied so(3) updates). DLT is degenerate for (near-)planar
+    clouds — the common case for dust3r pointmaps of a single surface — and
+    cv2's SQPnP (the reference solver, init_im_poses.py:254) handles that
+    case exactly; a few GN steps from the DLT init restore that accuracy."""
+    R = R.copy()
+    t = t.copy()
+    for _ in range(iters):
+        cam = pts3d @ R.T + t
+        z = cam[:, 2]
+        ok = z > 1e-9
+        if ok.sum() < 3:
+            break
+        cam = cam[ok]
+        z = z[ok]
+        r = cam[:, :2] / z[:, None] - pts2d_norm[ok]  # (M, 2)
+        # d(x/z,y/z)/dcam then dcam/d(omega,t) = [-[cam]_x | I]
+        x, y = cam[:, 0], cam[:, 1]
+        invz = 1.0 / z
+        # J has shape (M, 2, 6)
+        J = np.zeros((len(cam), 2, 6))
+        dproj = np.zeros((len(cam), 2, 3))
+        dproj[:, 0, 0] = invz
+        dproj[:, 0, 2] = -x * invz * invz
+        dproj[:, 1, 1] = invz
+        dproj[:, 1, 2] = -y * invz * invz
+        skew = np.zeros((len(cam), 3, 3))
+        skew[:, 0, 1] = -cam[:, 2]
+        skew[:, 0, 2] = cam[:, 1]
+        skew[:, 1, 0] = cam[:, 2]
+        skew[:, 1, 2] = -cam[:, 0]
+        skew[:, 2, 0] = -cam[:, 1]
+        skew[:, 2, 1] = cam[:, 0]
+        J[:, :, :3] = -dproj @ skew  # dcam/domega = d(omega x cam)/domega = -[cam]_x
+        J[:, :, 3:] = dproj
+        Jf = J.reshape(-1, 6)
+        rf = r.reshape(-1)
+        JtJ = Jf.T @ Jf + 1e-9 * np.eye(6)
+        try:
+            delta = np.linalg.solve(JtJ, -Jf.T @ rf)
+        except np.linalg.LinAlgError:
+            break
+        w_vec, dt = delta[:3], delta[3:]
+        th = np.linalg.norm(w_vec)
+        if th < 1e-15:
+            t = t + dt
+            break
+        k = w_vec / th
+        Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        dR = np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * (Kx @ Kx)
+        R = dR @ R
+        t = dR @ t + dt
+        if th < 1e-12 and np.linalg.norm(dt) < 1e-12:
+            break
+    return R, t
+
+
 def solve_pnp_ransac(
     pts3d: np.ndarray,
     pts2d: np.ndarray,
@@ -90,6 +151,11 @@ def solve_pnp_ransac(
     refined = _dlt_pose(pts3d[best_inl], norm2d[best_inl])
     if refined is not None and reproj_inliers(refined).sum() >= best_inl.sum():
         best_Rt = refined
+    # Gauss-Newton polish (DLT is degenerate on near-planar clouds)
+    R, t = _refine_pose_gn(pts3d[best_inl], norm2d[best_inl], best_Rt[:, :3], best_Rt[:, 3])
+    polished = np.concatenate([R, t[:, None]], axis=1)
+    if reproj_inliers(polished).sum() >= best_inl.sum():
+        best_Rt = polished
     return best_Rt[:, :3], best_Rt[:, 3]
 
 
