@@ -1,0 +1,199 @@
+"""Round-3 temporal-attention kernel candidates on the (b,s,t,c) layout.
+
+V1: block (tile, t, h, d) contiguous, per-head unrolled dot_generals
+V2: fused qkv-proj + attention + out-proj in one kernel, 2D (m*t, c) blocks
+Baselines: current (b,t,s,h,d) kernel + the XLA path.
+
+Run on TPU: python scripts/profile_temporal_v2.py [v1|v2|base|all]
+Correctness check on CPU: JAX_PLATFORMS=cpu python ... check
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+B, T, S, H, D = 2, 25, 9216, 5, 64
+C = H * D
+
+
+def timeit(name, fn, *args, reps=3, inner=10):
+    def loop(*a):
+        s = jnp.float32(0.0)
+        for _ in range(inner):
+            a0 = a[0] + (s * 0).astype(a[0].dtype)
+            out = fn(a0, *a[1:])
+            s = jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32))
+        return s
+
+    jl = jax.jit(loop)
+    _ = float(jl(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(jl(*args))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:<52s} {best/inner*1000:9.2f} ms", flush=True)
+    return best / inner
+
+
+# --- V1: (N, t, h, d) blocks, per-head unroll ------------------------------
+
+def _v1_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, h):
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    outs = []
+    for hi in range(h):
+        qh = q[:, :, hi, :]
+        kh = k[:, :, hi, :]
+        vh = v[:, :, hi, :]
+        logits = lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        probs = jax.nn.softmax(logits * scale, axis=-1).astype(vh.dtype)
+        outs.append(lax.dot_general(
+            probs, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ))
+    o_ref[...] = jnp.stack(outs, axis=2).astype(o_ref.dtype)
+
+
+def v1_attn(q, k, v, tile=128, interpret=False):
+    n, t, h, d = q.shape
+    spec = pl.BlockSpec((tile, t, h, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_v1_kernel, scale=d ** -0.5, h=h),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(n // tile,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(q, k, v)
+
+
+# --- V2: fused qkv proj + attention + out proj, (m*t, c) blocks ------------
+
+def _v2_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, o_ref, *, scale, m, t, h, d):
+    x = x_ref[...]  # (m*t, c)
+    q = lax.dot_general(x, wq_ref[...], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+    k = lax.dot_general(x, wk_ref[...], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+    v = lax.dot_general(x, wv_ref[...], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+    outs = []
+    for hi in range(h):
+        qh = q[:, hi * d:(hi + 1) * d].reshape(m, t, d)
+        kh = k[:, hi * d:(hi + 1) * d].reshape(m, t, d)
+        vh = v[:, hi * d:(hi + 1) * d].reshape(m, t, d)
+        logits = lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        probs = jax.nn.softmax(logits * scale, axis=-1).astype(x.dtype)
+        outs.append(lax.dot_general(
+            probs, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(x.dtype))
+    att = jnp.concatenate([o.reshape(m * t, d) for o in outs], axis=1)  # (m*t, c)
+    o_ref[...] = lax.dot_general(att, wo_ref[...], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def v2_attn(x2d, wq, wk, wv, wo, t, h, d, m=32, interpret=False):
+    nt, c = x2d.shape
+    xspec = pl.BlockSpec((m * t, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_v2_kernel, scale=d ** -0.5, m=m, t=t, h=h, d=d),
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        grid=(nt // (m * t),),
+        in_specs=[xspec, wspec, wspec, wspec, wspec],
+        out_specs=xspec,
+        interpret=interpret,
+    )(x2d, wq, wk, wv, wo)
+
+
+def check():
+    rng = np.random.default_rng(0)
+    n, t, h, d = 8 * 16, 25, 5, 64
+    q = jnp.asarray(rng.standard_normal((n, t, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((n, t, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n, t, h, d)), jnp.float32)
+
+    def ref_attn(q, k, v):
+        logits = jnp.einsum("nqhd,nkhd->nhqk", q, k) * (d ** -0.5)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("nhqk,nkhd->nqhd", p, v)
+
+    out = v1_attn(q, k, v, tile=16, interpret=True)
+    ref = ref_attn(q, k, v)
+    print("v1 max err:", float(jnp.abs(out - ref).max()))
+
+    c = h * d
+    x = jnp.asarray(rng.standard_normal((n * t, c)), jnp.float32)
+    ws = [jnp.asarray(rng.standard_normal((c, c)) * 0.05, jnp.float32) for _ in range(4)]
+    out2 = v2_attn(x, *ws, t=t, h=h, d=d, m=8, interpret=True)
+    q2 = (x @ ws[0]).reshape(n, t, h, d)
+    k2 = (x @ ws[1]).reshape(n, t, h, d)
+    v2 = (x @ ws[2]).reshape(n, t, h, d)
+    ref2 = ref_attn(q2, k2, v2).reshape(n * t, c) @ ws[3]
+    print("v2 max err:", float(jnp.abs(out2 - ref2).max()))
+
+
+def main():
+    which = set(sys.argv[1:]) or {"all"}
+    if "check" in which:
+        check()
+        return
+    rng = jax.random.PRNGKey(0)
+    bf = jnp.bfloat16
+    n = B * S
+
+    if "all" in which or "v1" in which:
+        q = jax.random.normal(rng, (n, T, H, D), bf)
+        for tile in (64, 128, 256):
+            try:
+                timeit(f"v1 (n,t,h,d) tile={tile}",
+                       functools.partial(v1_attn, tile=tile), q, q, q, inner=10)
+            except Exception as e:
+                print(f"v1 tile={tile} failed: {type(e).__name__}: {str(e)[:140]}", flush=True)
+
+    if "all" in which or "v2" in which:
+        x = jax.random.normal(rng, (n * T, C), bf)
+        ws = [jax.random.normal(jax.random.PRNGKey(i), (C, C), bf) * 0.05 for i in range(1, 5)]
+        for m in (16, 32, 64):
+            try:
+                timeit(f"v2 fused proj+attn m={m}",
+                       functools.partial(v2_attn, t=T, h=H, d=D, m=m), x, *ws, inner=10)
+            except Exception as e:
+                print(f"v2 m={m} failed: {type(e).__name__}: {str(e)[:140]}", flush=True)
+        # XLA baseline for the same fused scope (proj + attn + proj)
+        def xla_scope(x, wq, wk, wv, wo):
+            q = (x @ wq).reshape(n, T, H, D)
+            k = (x @ wk).reshape(n, T, H, D)
+            v = (x @ wv).reshape(n, T, H, D)
+            logits = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(logits * (D ** -0.5), axis=-1).astype(x.dtype)
+            o = jnp.einsum("nhqk,nkhd->nqhd", p, v, preferred_element_type=jnp.float32)
+            return o.astype(x.dtype).reshape(n * T, C) @ wo
+        timeit("xla same scope (proj+attn+proj)", xla_scope, x, *ws, inner=5)
+
+    if "all" in which or "base" in which:
+        from viewcrafter_tpu.ops.pallas.temporal_attention import temporal_attention_fused
+        q = jax.random.normal(rng, (B, T, S, H, D), bf)
+        timeit("current fused (b,t,s,h,d)", temporal_attention_fused, q, q, q, inner=10)
+
+
+if __name__ == "__main__":
+    main()

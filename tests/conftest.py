@@ -23,6 +23,12 @@ try:
 except RuntimeError:
     _cpus = jax.devices()
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-scale parity tests (minutes each); always run in CI"
+    )
+
+
 jax.config.update("jax_default_matmul_precision", "highest")
 # single-core CI box: persistent compile cache makes re-runs cheap
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

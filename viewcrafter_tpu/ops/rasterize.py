@@ -113,10 +113,10 @@ def _candidates_to_kbuffer(valid, py, px, z, dist2, colors, radius_px,
         exact PyTorch3D semantics incl. tie-breaks.
       - "packed": ONE argsort of pix_id * 2^13 + 13-bit-quantized z. Halves
         the dominant sort cost. Approximation: two same-pixel candidates
-        whose z's agree in the top 13 float bits (sign+exp+5 mantissa bits,
-        i.e. relative z difference < ~3%) may composite in candidate order
-        instead of strict z order — bounded-error, validated in
-        tests/test_rasterize.py.
+        whose z's land in the same linear bucket (bucket = z-range/8190) may
+        composite in candidate order instead of strict z order —
+        bounded-error, validated in tests/test_rasterize.py and vs the
+        independent torch oracle in tests/test_rasterize_oracle.py.
       - "auto": packed when the key fits int32 (hw * 2^13 < 2^31), else exact.
     """
     n, f2 = valid.shape
@@ -132,13 +132,18 @@ def _candidates_to_kbuffer(valid, py, px, z, dist2, colors, radius_px,
 
     if z_order == "packed":
         # one stable sort on (pixel, quantized-z) packed into an int32.
-        # z > znear > 0, so the IEEE-754 bit pattern is monotone in z; the
-        # sign bit is always 0, so bits 30..18 (8 exponent + 5 mantissa) are
-        # a monotone 13-bit quantization with inf (0x7f8...) maximal. Stable
-        # argsort then breaks quantized-z ties by candidate id — the same
-        # tie-break as "exact".
-        z_bits = jax.lax.bitcast_convert_type(cand_z.astype(jnp.float32), jnp.int32)
-        zq = jax.lax.shift_right_logical(z_bits, 31 - _ZQ_BITS)
+        # z is linearly quantized to 13 bits over the candidate set's
+        # [zmin, zmax] — absolute resolution (zmax-zmin)/8190, so only
+        # near-coincident same-pixel splats can swap composite order (a
+        # ~140x finer bucket than the float-bit truncation this replaces).
+        # Stable argsort breaks quantized-z ties by candidate id — the same
+        # tie-break as "exact". Invalid candidates get the maximal bucket.
+        finite = jnp.isfinite(cand_z)
+        zmin = jnp.min(jnp.where(finite, cand_z, jnp.inf))
+        zmax = jnp.max(jnp.where(finite, cand_z, -jnp.inf))
+        scale = (2.0**_ZQ_BITS - 2.0) / jnp.maximum(zmax - zmin, 1e-20)
+        zq = jnp.clip((cand_z - zmin) * scale, 0.0, 2.0**_ZQ_BITS - 2.0)
+        zq = jnp.where(finite, zq.astype(jnp.int32), 2**_ZQ_BITS - 1)
         key = pix_id << _ZQ_BITS | zq
         order = jnp.argsort(key, stable=True)
     else:
