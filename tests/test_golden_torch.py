@@ -146,6 +146,65 @@ def test_unet_golden():
     assert_close(np.transpose(np.asarray(y), (0, 4, 1, 2, 3)), y_ref, name="unet")
 
 
+def test_unet_relative_position_golden():
+    """use_relative_position=True variant (attention.py:20-39,104-123): the
+    Shaw-style temporal rel-pos tables bias logits (q·k2) and outputs
+    (probs·v2). Off in shipped configs; config-parity coverage."""
+    from lvdm.modules.networks.openaimodel3d import UNetModel
+
+    from viewcrafter_tpu.config import UNetConfig
+    from viewcrafter_tpu.models.unet3d import UNet3D
+    from viewcrafter_tpu.utils.checkpoint import Translator, map_unet
+
+    T, H, W = 4, 16, 16
+    ref = UNetModel(
+        in_channels=8, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=[1, 2], dropout=0.0, channel_mult=[1, 2],
+        context_dim=64, num_head_channels=16, transformer_depth=1,
+        use_linear=True, use_checkpoint=False, temporal_conv=True,
+        temporal_attention=True, temporal_selfatt_only=True,
+        use_relative_position=True, use_causal_attention=False,
+        temporal_length=T, addition_attention=True, image_cross_attention=True,
+        default_fs=10, fs_condition=True,
+    ).eval()
+    randomize_(ref, 5)
+
+    cfg = UNetConfig(
+        model_channels=32, num_res_blocks=1, attention_resolutions=(1, 2),
+        channel_mult=(1, 2), num_head_channels=16, context_dim=64,
+        temporal_length=T, use_relative_position=True,
+    )
+    sd = {f"model.diffusion_model.{k}": v for k, v in ref.state_dict().items()}
+    t = Translator(sd)
+    map_unet(t, cfg=cfg)
+    params = {"params": t.nested()}
+
+    model = UNet3D(cfg=cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 8, T, H, W), np.float32)
+    ctx = rng.standard_normal((1, 77 + T * 16, 64), np.float32)
+    ts = np.array([123], np.int64)
+    fs = np.array([7], np.int64)
+
+    init_tree = model.init(
+        jax.random.PRNGKey(0), jnp.transpose(jnp.asarray(x), (0, 2, 3, 4, 1)),
+        jnp.asarray(ts), jnp.asarray(ctx), fs=jnp.asarray(fs, jnp.float32),
+    )
+    _assert_translated_matches_init(params, init_tree, "unet_relpos")
+
+    with torch.no_grad():
+        y_ref = ref(
+            torch.from_numpy(x), torch.from_numpy(ts),
+            context=torch.from_numpy(ctx), fs=torch.from_numpy(fs),
+        ).numpy()
+
+    y = model.apply(
+        params, jnp.transpose(jnp.asarray(x), (0, 2, 3, 4, 1)),
+        jnp.asarray(ts), jnp.asarray(ctx), fs=jnp.asarray(fs, jnp.float32),
+    )
+    assert_close(np.transpose(np.asarray(y), (0, 4, 1, 2, 3)), y_ref, name="unet_relpos")
+
+
 # ---------------------------------------------------------------------------
 # VAE vs lvdm ae_modules Encoder/Decoder (+ quant convs)
 # ---------------------------------------------------------------------------

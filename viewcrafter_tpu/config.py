@@ -35,6 +35,10 @@ class UNetConfig:
     default_fs: int = 10
     fs_condition: bool = True
     use_causal_attention: bool = False
+    # Shaw-style learned relative-position bias in temporal attention
+    # (reference `use_relative_position`, attention.py:20-39 + 322-340;
+    # off in every shipped config but config-parity supported)
+    use_relative_position: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

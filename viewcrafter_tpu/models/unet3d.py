@@ -243,36 +243,72 @@ class SpatialTransformer(nn.Module):
         return x + h.reshape(bt, hh, ww, c)
 
 
-def _temporal_attention(q, k, v, mask=None):
+def _temporal_attention(q, k, v, mask=None, k2=None, v2=None):
     """Self-attention over the t axis of (B, T, S, H, D) tensors WITHOUT
     materializing a (B*S, T, C) transpose — XLA folds the layout change into
     the matmuls (a standalone transpose of the ds1 activations costs ~8% of a
     flagship UNet eval). On TPU, qualifying shapes run the fused Pallas
     kernel (ops/pallas/temporal_attention.py) which keeps the (T, T) logits
     in VMEM — the XLA path round-trips them through HBM (~28 ms/site at
-    flagship shapes vs ~1.5 ms speed-of-light)."""
+    flagship shapes vs ~1.5 ms speed-of-light).
+
+    k2/v2: optional Shaw-style relative-position embeddings (Tq, Tk, D)
+    shared across batch/pixels/heads (reference RelativePosition,
+    lvdm/modules/attention.py:20-39,104-123): k2 adds q·k2 to the logits,
+    v2 adds probs·v2 to the output. Forces the XLA path."""
     from viewcrafter_tpu.ops.attention import _on_tpu
     from viewcrafter_tpu.ops.pallas.temporal_attention import (
         supports_fused, temporal_attention_fused,
     )
 
-    if mask is None and _on_tpu() and supports_fused(q.shape):
+    if mask is None and k2 is None and v2 is None and _on_tpu() and supports_fused(q.shape):
         return temporal_attention_fused(q, k, v)
     d = q.shape[-1]
     logits = jnp.einsum("bqshd,bkshd->bshqk", q, k, preferred_element_type=jnp.float32)
+    if k2 is not None:
+        logits = logits + jnp.einsum(
+            "bqshd,qkd->bshqk", q, k2.astype(q.dtype), preferred_element_type=jnp.float32
+        )
     logits = logits.astype(jnp.float32) * (d**-0.5)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bshqk,bkshd->bqshd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
+    out = jnp.einsum("bshqk,bkshd->bqshd", probs, v, preferred_element_type=jnp.float32)
+    if v2 is not None:
+        out = out + jnp.einsum(
+            "bshqk,qkd->bqshd", probs, v2.astype(q.dtype), preferred_element_type=jnp.float32
+        )
+    return out.astype(q.dtype)
+
+
+def _relative_position_table(module, name: str, max_rel: int, dim: int):
+    """(2*max_rel+1, dim) xavier-uniform table, gathered to (Tq, Tk, dim) at
+    call time (reference RelativePosition, attention.py:20-39)."""
+    return module.param(
+        name, nn.initializers.xavier_uniform(), (2 * max_rel + 1, dim), jnp.float32
+    )
+
+
+def _gather_relative(table, tq: int, tk: int, max_rel: int):
+    dist = jnp.arange(tk)[None, :] - jnp.arange(tq)[:, None]
+    idx = jnp.clip(dist, -max_rel, max_rel) + max_rel
+    return table[idx]  # (Tq, Tk, dim)
 
 
 class TemporalSelfAttention(nn.Module):
-    """CrossAttention-compatible params (to_q/k/v/out) acting on (B,T,S,C)."""
+    """CrossAttention-compatible params (to_q/k/v/out) acting on (B,T,S,C).
+
+    relative_position=True adds the Shaw-style learned relative-position
+    bias the reference builds when `use_relative_position` is set
+    (attention.py:59-63,104-123; off in every shipped config): two
+    (2*temporal_length+1, dim_head) tables shared across heads, one biasing
+    the logits via q·k2, one the output via probs·v2."""
 
     heads: int
     dim_head: int
     query_dim: int
+    relative_position: bool = False
+    temporal_length: int = 0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -283,7 +319,14 @@ class TemporalSelfAttention(nn.Module):
         q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x).reshape(b, t, s, h, d)
         k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x).reshape(b, t, s, h, d)
         v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x).reshape(b, t, s, h, d)
-        o = _temporal_attention(q, k, v, mask).reshape(b, t, s, inner)
+        k2 = v2 = None
+        if self.relative_position:
+            L = self.temporal_length
+            k2 = _gather_relative(
+                _relative_position_table(self, "rel_k_table", L, d), t, t, L)
+            v2 = _gather_relative(
+                _relative_position_table(self, "rel_v_table", L, d), t, t, L)
+        o = _temporal_attention(q, k, v, mask, k2=k2, v2=v2).reshape(b, t, s, inner)
         return Dense(self.query_dim, dtype=self.dtype, name="to_out")(o)
 
 
@@ -294,18 +337,24 @@ class TemporalTransformerBlock(nn.Module):
     dim: int
     heads: int
     dim_head: int
+    relative_position: bool = False
+    temporal_length: int = 0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, mask=None, cache=_NO_CACHE, site=""):
         attn1 = TemporalSelfAttention(
             heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
+            relative_position=self.relative_position,
+            temporal_length=self.temporal_length,
             dtype=self.dtype, name="attn1",
         )
         x = x + cache.site("temporal", site + "/attn1",
                            lambda: attn1(LayerNormF32(name="norm1")(x), mask=mask))
         attn2 = TemporalSelfAttention(
             heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
+            relative_position=self.relative_position,
+            temporal_length=self.temporal_length,
             dtype=self.dtype, name="attn2",
         )
         x = x + cache.site("temporal", site + "/attn2",
@@ -326,6 +375,8 @@ class TemporalTransformer(nn.Module):
     dim_head: int
     depth: int = 1
     causal: bool = False
+    relative_position: bool = False
+    temporal_length: int = 0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -343,10 +394,53 @@ class TemporalTransformer(nn.Module):
         for i in range(self.depth):
             h = TemporalTransformerBlock(
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
+                relative_position=self.relative_position,
+                temporal_length=self.temporal_length,
                 dtype=self.dtype, name=f"block_{i}",
             )(h, mask=mask, cache=cache, site=f"{site}/block_{i}")
         h = Dense(self.channels, dtype=self.dtype, zero_init=True, name="proj_out")(h)
         return x + h.reshape(b, t, hh, ww, c)
+
+
+class TemporalConv3(nn.Module):
+    """Conv3d((3,1,1)) with nn.Conv-compatible params ((3,1,1,Cin,Cout)
+    kernel + (Cout,) bias under this module's scope). TPU shapes run the
+    fused Pallas kernel (ops/pallas/temporal_conv.py: one VMEM-resident
+    3-tap matmul chain, ~3.6x XLA's general conv at flagship shapes);
+    elsewhere an identical-math shifted-matmul formulation."""
+
+    features: int
+    zero_init: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from viewcrafter_tpu.ops.attention import _on_tpu
+        from viewcrafter_tpu.ops.pallas.temporal_conv import (
+            supports_fused, temporal_conv3,
+        )
+
+        b, t, hh, ww, c = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal(),
+            (3, 1, 1, c, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        xf = x.astype(self.dtype).reshape(b, t, hh * ww, c)
+        w = kernel[:, 0, 0]
+        if _on_tpu() and supports_fused(xf.shape, c, self.features):
+            y = temporal_conv3(xf, w.astype(self.dtype), bias)
+        else:
+            xp = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)))
+            y = jnp.zeros(xf.shape[:-1] + (self.features,), jnp.float32)
+            for dt in range(3):
+                y = y + jnp.einsum(
+                    "btsc,cd->btsd", xp[:, dt:dt + t], w[dt].astype(self.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            y = (y + bias).astype(self.dtype)
+        return y.reshape(b, t, hh, ww, self.features)
 
 
 class TemporalConvBlock(nn.Module):
@@ -362,7 +456,7 @@ class TemporalConvBlock(nn.Module):
         h = x
         for i in range(4):
             h = GroupNorm32(32, with_silu=True, name=f"norm_{i}")(h)
-            h = Conv(self.channels, (3, 1, 1), dtype=self.dtype, zero_init=(i == 3), name=f"conv_{i}")(h)
+            h = TemporalConv3(self.channels, zero_init=(i == 3), dtype=self.dtype, name=f"conv_{i}")(h)
         return x + h
 
 
@@ -528,6 +622,8 @@ class UNet3D(nn.Module):
             return TemporalT(
                 channels=ch, heads=heads, dim_head=cfg.num_head_channels,
                 depth=cfg.transformer_depth, causal=cfg.use_causal_attention,
+                relative_position=cfg.use_relative_position,
+                temporal_length=cfg.temporal_length,
                 dtype=self.dtype, name=name,
             )
 

@@ -69,13 +69,21 @@ def _flash_call(q, k, v, block_q, block_k):
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
+    scale = d**-0.5
+    # When the scale is a power of two (d = 64/256: exponent-only bf16 op),
+    # fold it into Q: sm_scale=1.0 skips the kernel's `s *= sm_scale` — one
+    # whole VPU pass over the (Sq, Sk) logits — with bitwise-identical
+    # logits (2^-n scaling commutes with the fp matmul exactly).
+    if (d & (d - 1)) == 0 and (d.bit_length() - 1) % 2 == 0:
+        qt = qt * jnp.asarray(scale, qt.dtype)
+        scale = 1.0
     block_sizes = fa.BlockSizes(
         block_q=block_q,
         block_k_major=block_k,
         block_k=block_k,
         block_b=1,
     )
-    out = fa.flash_attention(qt, kt, vt, sm_scale=d**-0.5, block_sizes=block_sizes)
+    out = fa.flash_attention(qt, kt, vt, sm_scale=scale, block_sizes=block_sizes)
     return jnp.swapaxes(out, 1, 2)
 
 

@@ -170,7 +170,7 @@ def _map_resblock(t: Translator, src: str, dst: str, temporal: bool = True):
             t.conv3d(f"{src}.temopral_conv.{conv}.{idx}", f"{dst}/temporal_conv/conv_{i}")
 
 
-def _map_attention(t: Translator, src: str, dst: str):
+def _map_attention(t: Translator, src: str, dst: str, rel_pos: bool = False):
     t.linear(f"{src}.to_q", dst + "/to_q", bias=False)
     t.linear(f"{src}.to_k", dst + "/to_k", bias=False)
     t.linear(f"{src}.to_v", dst + "/to_v", bias=False)
@@ -178,11 +178,16 @@ def _map_attention(t: Translator, src: str, dst: str):
     if t.has(f"{src}.to_k_ip.weight"):
         t.linear(f"{src}.to_k_ip", dst + "/to_k_ip", bias=False)
         t.linear(f"{src}.to_v_ip", dst + "/to_v_ip", bias=False)
+    # Shaw-style temporal relative-position tables (use_relative_position
+    # configs only; attention.py:59-63) — raw (2L+1, dim_head) copies
+    if rel_pos and t.has(f"{src}.relative_position_k.embeddings_table"):
+        t.assign(dst + "/rel_k_table", t.take(f"{src}.relative_position_k.embeddings_table"))
+        t.assign(dst + "/rel_v_table", t.take(f"{src}.relative_position_v.embeddings_table"))
 
 
-def _map_transformer_block(t: Translator, src: str, dst: str):
-    _map_attention(t, f"{src}.attn1", f"{dst}/attn1")
-    _map_attention(t, f"{src}.attn2", f"{dst}/attn2")
+def _map_transformer_block(t: Translator, src: str, dst: str, rel_pos: bool = False):
+    _map_attention(t, f"{src}.attn1", f"{dst}/attn1", rel_pos=rel_pos)
+    _map_attention(t, f"{src}.attn2", f"{dst}/attn2", rel_pos=rel_pos)
     t.layernorm(f"{src}.norm1", f"{dst}/norm1")
     t.layernorm(f"{src}.norm2", f"{dst}/norm2")
     t.layernorm(f"{src}.norm3", f"{dst}/norm3")
@@ -203,12 +208,14 @@ def _proj_linear_or_conv1d(t: Translator, src: str, dst: str):
         t.assign(f"{dst}/bias", t.take(f"{src}.bias"))
 
 
-def _map_spatial_transformer(t: Translator, src: str, dst: str, depth: int = 1):
+def _map_spatial_transformer(t: Translator, src: str, dst: str, depth: int = 1,
+                             rel_pos: bool = False):
     t.groupnorm32(f"{src}.norm", f"{dst}/norm")
     _proj_linear_or_conv1d(t, f"{src}.proj_in", f"{dst}/proj_in")
     _proj_linear_or_conv1d(t, f"{src}.proj_out", f"{dst}/proj_out")
     for d in range(depth):
-        _map_transformer_block(t, f"{src}.transformer_blocks.{d}", f"{dst}/block_{d}")
+        _map_transformer_block(t, f"{src}.transformer_blocks.{d}", f"{dst}/block_{d}",
+                               rel_pos=rel_pos)
 
 
 def map_unet(t: Translator, src_prefix: str = "model.diffusion_model", cfg=None) -> None:
@@ -223,7 +230,8 @@ def map_unet(t: Translator, src_prefix: str = "model.diffusion_model", cfg=None)
         t.linear(f"{p}.fps_embedding.2", "fps_embed_2")
     t.conv2d(f"{p}.input_blocks.0.0", "in_conv")
     if t.has(f"{p}.init_attn.0.norm.weight"):
-        _map_spatial_transformer(t, f"{p}.init_attn.0", "init_attn", cfg.transformer_depth)
+        _map_spatial_transformer(t, f"{p}.init_attn.0", "init_attn", cfg.transformer_depth,
+                                 rel_pos=cfg.use_relative_position)
 
     idx = 1
     ds = 1
@@ -234,7 +242,8 @@ def map_unet(t: Translator, src_prefix: str = "model.diffusion_model", cfg=None)
             if ds in cfg.attention_resolutions:
                 _map_spatial_transformer(t, f"{base}.1", f"down_{level}_{j}_spatial", cfg.transformer_depth)
                 if cfg.temporal_attention:
-                    _map_spatial_transformer(t, f"{base}.2", f"down_{level}_{j}_temporal", cfg.transformer_depth)
+                    _map_spatial_transformer(t, f"{base}.2", f"down_{level}_{j}_temporal", cfg.transformer_depth,
+                                             rel_pos=cfg.use_relative_position)
             idx += 1
         if level != len(cfg.channel_mult) - 1:
             t.conv2d(f"{p}.input_blocks.{idx}.0.op", f"down_{level}_downsample/op")
@@ -245,7 +254,8 @@ def map_unet(t: Translator, src_prefix: str = "model.diffusion_model", cfg=None)
     _map_spatial_transformer(t, f"{p}.middle_block.1", "mid_spatial", cfg.transformer_depth)
     off = 2
     if cfg.temporal_attention:
-        _map_spatial_transformer(t, f"{p}.middle_block.2", "mid_temporal", cfg.transformer_depth)
+        _map_spatial_transformer(t, f"{p}.middle_block.2", "mid_temporal", cfg.transformer_depth,
+                                 rel_pos=cfg.use_relative_position)
         off = 3
     _map_resblock(t, f"{p}.middle_block.{off}", "mid_res2")
 
@@ -259,7 +269,8 @@ def map_unet(t: Translator, src_prefix: str = "model.diffusion_model", cfg=None)
                 _map_spatial_transformer(t, f"{base}.{k}", f"up_{level}_{j}_spatial", cfg.transformer_depth)
                 k += 1
                 if cfg.temporal_attention:
-                    _map_spatial_transformer(t, f"{base}.{k}", f"up_{level}_{j}_temporal", cfg.transformer_depth)
+                    _map_spatial_transformer(t, f"{base}.{k}", f"up_{level}_{j}_temporal", cfg.transformer_depth,
+                                             rel_pos=cfg.use_relative_position)
                     k += 1
             if level and j == cfg.num_res_blocks:
                 t.conv2d(f"{base}.{k}.conv", f"up_{level}_upsample/conv")
