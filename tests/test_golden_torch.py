@@ -775,3 +775,161 @@ def test_clip_vision_golden():
         y_ref = ref(torch.from_numpy(x)).numpy()
     y = model.apply(params, jx)
     assert_close(np.asarray(y), y_ref, name="clip_vision")
+
+
+# ---------------------------------------------------------------------------
+# DUSt3R linear head (pixel-shuffle) vs LinearPts3d
+# ---------------------------------------------------------------------------
+
+
+def test_dust3r_linear_head_golden():
+    """head_type='linear' full-network parity (heads/linear_head.py:12-41):
+    the F.pixel_shuffle channel order (c, dy, dx) is the wiring this test
+    pins down — the DPT golden cannot catch it."""
+    from dust3r.model import AsymmetricCroCo3DStereo
+
+    from viewcrafter_tpu.config import Dust3rConfig
+    from viewcrafter_tpu.models.dust3r import Dust3rModel
+    from viewcrafter_tpu.utils.checkpoint import translate_dust3r_checkpoint
+
+    H = W = 64
+    inf = float("inf")
+    ref = AsymmetricCroCo3DStereo(
+        output_mode="pts3d", head_type="linear",
+        depth_mode=("exp", -inf, inf), conf_mode=("exp", 1, inf),
+        landscape_only=True, patch_embed_cls="PatchEmbedDust3R",
+        img_size=(H, W), patch_size=16,
+        enc_embed_dim=64, enc_depth=4, enc_num_heads=2,
+        dec_embed_dim=48, dec_depth=12, dec_num_heads=2,
+        mlp_ratio=4, pos_embed="RoPE100",
+    ).eval()
+    randomize_(ref, 31)
+
+    cfg = Dust3rConfig(
+        img_size=(H, W), patch_size=16, head_type="linear",
+        enc_embed_dim=64, enc_depth=4, enc_num_heads=2,
+        dec_embed_dim=48, dec_depth=12, dec_num_heads=2,
+    )
+    params = translate_dust3r_checkpoint(ref.state_dict(), cfg=cfg)
+
+    model = Dust3rModel(cfg=cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    img1 = rng.standard_normal((1, 3, H, W), np.float32) * 0.5
+    img2 = rng.standard_normal((1, 3, H, W), np.float32) * 0.5
+
+    j1 = jnp.transpose(jnp.asarray(img1), (0, 2, 3, 1))
+    j2 = jnp.transpose(jnp.asarray(img2), (0, 2, 3, 1))
+    init_tree = model.init(jax.random.PRNGKey(0), j1, j2)
+    _assert_translated_matches_init(params, init_tree, "dust3r_linear")
+
+    true_shape = torch.tensor([[H, W]], dtype=torch.int32)
+    with torch.no_grad():
+        res1, res2 = ref(
+            {"img": torch.from_numpy(img1), "true_shape": true_shape, "instance": ["0"]},
+            {"img": torch.from_numpy(img2), "true_shape": true_shape, "instance": ["1"]},
+        )
+
+    out = model.apply(params, j1, j2)
+    assert_close(np.asarray(out["pts3d1"]), res1["pts3d"].numpy(), name="linear pts3d1")
+    assert_close(np.asarray(out["conf1"]), res1["conf"].numpy(), name="linear conf1")
+    assert_close(
+        np.asarray(out["pts3d2_in_view1"]), res2["pts3d_in_other_view"].numpy(),
+        name="linear pts3d2",
+    )
+    assert_close(np.asarray(out["conf2"]), res2["conf"].numpy(), name="linear conf2")
+
+
+# ---------------------------------------------------------------------------
+# PairViewer vs reference (closed-form 2-view alignment)
+# ---------------------------------------------------------------------------
+
+
+def _stub_module(name, **attrs):
+    import types
+
+    try:
+        __import__(name)
+        return sys.modules[name]
+    except ImportError:
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        return mod
+
+
+def test_pair_viewer_golden():
+    """Closed-form 2-view PairViewer vs reference cloud_opt/pair_viewer.py:
+    Weiszfeld focal, PnP relative pose, conf-anchor choice, depth extraction.
+    roma/torchvision are stubbed (unused on the PairViewer code path)."""
+
+    class _Noop:
+        def __init__(self, *a, **k):
+            pass
+
+    _stub_module("roma")
+    tv = _stub_module("torchvision")
+    tvt = _stub_module(
+        "torchvision.transforms", Compose=_Noop, ToTensor=_Noop, Normalize=_Noop
+    )
+    if not hasattr(tv, "transforms"):
+        tv.transforms = tvt
+    pytest.importorskip("cv2")
+    from dust3r.cloud_opt.pair_viewer import PairViewer
+
+    from viewcrafter_tpu.align.global_align import SceneGraph
+    from viewcrafter_tpu.align.pairs import pair_viewer
+
+    H, W, FOCAL = 8, 12, 14.0
+    uu, vv = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+
+    def cam_grid(depth):
+        z = depth(uu, vv)
+        return np.stack([z * (uu - W / 2) / FOCAL, z * (vv - H / 2) / FOCAL, z], -1)
+
+    a = np.deg2rad(10.0)
+    R1 = np.array(
+        [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]]
+    )
+    pose1 = np.eye(4)
+    pose1[:3, :3] = R1
+    pose1[:3, 3] = [0.4, 0.1, -0.15]
+
+    pts0 = cam_grid(lambda u, v: 2.0 + 0.05 * u + 0.02 * v + 0.3 * np.sin(0.8 * u) * np.cos(1.1 * v))
+    pts1 = cam_grid(lambda u, v: 2.2 + 0.04 * u + 0.03 * v + 0.25 * np.cos(0.7 * u) * np.sin(0.9 * v))
+    pts1_in0 = (pts1.reshape(-1, 3) @ pose1[:3, :3].T + pose1[:3, 3]).reshape(H, W, 3)
+    w2c1 = np.linalg.inv(pose1)
+    pts0_in1 = (pts0.reshape(-1, 3) @ w2c1[:3, :3].T + w2c1[:3, 3]).reshape(H, W, 3)
+
+    # edge order [(0,1), (1,0)]; conf makes camera 0 the anchor
+    pred_i = np.stack([pts0, pts1]).astype(np.float32)
+    pred_j = np.stack([pts1_in0, pts0_in1]).astype(np.float32)
+    conf_i = np.stack([np.full((H, W), 10.0), np.full((H, W), 6.0)]).astype(np.float32)
+    conf_j = np.stack([np.full((H, W), 9.0), np.full((H, W), 5.0)]).astype(np.float32)
+
+    view1 = {"idx": [0, 1]}
+    view2 = {"idx": [1, 0]}
+    pred1 = {"pts3d": torch.from_numpy(pred_i), "conf": torch.from_numpy(conf_i)}
+    pred2 = {
+        "pts3d_in_other_view": torch.from_numpy(pred_j),
+        "conf": torch.from_numpy(conf_j),
+    }
+    ref = PairViewer(view1, view2, pred1, pred2)
+
+    graph = SceneGraph(
+        edges=np.array([(0, 1), (1, 0)]),
+        pred_i=pred_i, pred_j=pred_j, conf_i=conf_i, conf_j=conf_j,
+        imgs=np.zeros((2, H, W, 3), np.float32),
+    )
+    ours = pair_viewer(graph)
+
+    ref_poses = ref.im_poses.detach().numpy()
+    np.testing.assert_allclose(ours.poses, ref_poses, atol=2e-3)
+    np.testing.assert_allclose(
+        ours.focals, ref.focals.detach().numpy(), rtol=2e-3
+    )
+    ref_depths = np.stack([d.detach().numpy() for d in ref.depth])
+    np.testing.assert_allclose(ours.depths, ref_depths, atol=2e-3, rtol=2e-3)
+    # both must identify camera 0 (higher conf product) as the anchor
+    np.testing.assert_allclose(ref_poses[0], np.eye(4), atol=1e-6)
+    np.testing.assert_allclose(ours.poses[0], np.eye(4), atol=1e-6)

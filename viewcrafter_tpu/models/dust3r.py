@@ -322,8 +322,10 @@ class LinearHead(nn.Module):
         tokens = feats[-1].astype(jnp.float32)
         b = tokens.shape[0]
         out = nn.Dense(4 * p * p, dtype=jnp.float32, name="proj")(tokens)
-        out = out.reshape(b, h // p, w // p, p, p, 4)
-        return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, 4)
+        # torch F.pixel_shuffle channel order: index = c*p*p + dy*p + dx
+        # (linear_head.py:36-38) — split (4, p, p), NOT (p, p, 4)
+        out = out.reshape(b, h // p, w // p, 4, p, p)
+        return out.transpose(0, 1, 4, 2, 5, 3).reshape(b, h, w, 4)
 
 
 class Dust3rModel(nn.Module):
