@@ -139,8 +139,24 @@ def attention(
         return xla_attention(q, k, v, mask)
     if impl == "flash":
         return flash_attention(q, k, v)
+    if impl == "fullkv":
+        from viewcrafter_tpu.ops.pallas.fullkv_attention import fullkv_attention
+
+        return fullkv_attention(q, k, v)
     if impl == "auto":
-        if _on_tpu() and _qualifies_for_flash(q, k, mask):
-            return flash_attention(q, k, v)
+        if _on_tpu() and mask is None:
+            from viewcrafter_tpu.ops.pallas.fullkv_attention import (
+                fullkv_attention,
+                supports_fullkv,
+            )
+
+            # Single-pass full-KV kernel wins over both flash and the XLA
+            # einsum at the mid-length spatial stages (measured v5e, flagship
+            # shapes: ds2 S=2304 27.3->16.2 ms, ds4 S=576 9.4->7.1 ms); at
+            # ds1 S=9216 it ties flash, so flash keeps the long sequences.
+            if k.shape[1] <= 4096 and supports_fullkv(q.shape, k.shape):
+                return fullkv_attention(q, k, v)
+            if _qualifies_for_flash(q, k, mask):
+                return flash_attention(q, k, v)
         return xla_attention(q, k, v, mask)
     raise ValueError(f"unknown attention impl {impl!r}")
