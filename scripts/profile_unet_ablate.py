@@ -30,7 +30,11 @@ from viewcrafter_tpu.models.lvdm import cast_params_bf16
 from viewcrafter_tpu.models.unet3d import UNet3D
 
 
-def timeit(fn, *args, reps=3, inner=3):
+def timeit(fn, *args, reps=4, inner=1):
+    """inner=1: one ~2.2 s eval dwarfs the tunnel round-trip, and chaining
+    multiple evals in one program broke the remote-compile helper (broken
+    pipe at ~3x flagship program size)."""
+
     def loop(*a):
         s = jnp.float32(0.0)
         for _ in range(inner):
@@ -39,7 +43,13 @@ def timeit(fn, *args, reps=3, inner=3):
         return s
 
     jl = jax.jit(loop)
-    _ = float(jl(*args))
+    for attempt in range(3):
+        try:
+            _ = float(jl(*args))
+            break
+        except Exception as e:  # transient tunnel/worker restarts
+            print(f"# warm-up retry {attempt}: {type(e).__name__}", flush=True)
+            time.sleep(20)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()

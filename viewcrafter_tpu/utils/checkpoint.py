@@ -523,6 +523,34 @@ def translate_dust3r_checkpoint(raw_state: Dict[str, Any], cfg=None) -> Dict[str
     return {"params": t.nested()}
 
 
+def map_croco_downstream(t: Translator, cfg=None, monocular: bool = False) -> None:
+    """CroCoDownstreamBinocular / CroCoDownstreamMonocularEncoder state_dict
+    (croco/models/croco_downstream.py:23-122 + head_downstream.py's
+    head.dpt.* adapter) -> models/croco_downstream params."""
+    from viewcrafter_tpu.models.croco_downstream import CroCoDownstreamConfig
+
+    cfg = cfg or CroCoDownstreamConfig()
+    t.conv2d("patch_embed.proj", "patch_embed")
+    t.layernorm("enc_norm", "enc_norm")
+    for i in range(cfg.enc_depth):
+        _map_croco_enc_block(t, f"enc_blocks.{i}", f"enc_block_{i}")
+    if not monocular:
+        t.linear("decoder_embed", "decoder_embed")
+        t.layernorm("dec_norm", "dec_norm")
+        for i in range(cfg.dec_depth):
+            _map_croco_dec_block(t, f"dec_blocks.{i}", f"dec_block_{i}")
+    _map_dpt_head(t, "head", "head")
+
+
+def translate_croco_downstream_checkpoint(
+    raw_state: Dict[str, Any], cfg=None, monocular: bool = False
+) -> Dict[str, Any]:
+    sd = normalize_dust3r_state_dict(raw_state)
+    t = Translator(sd)
+    map_croco_downstream(t, cfg=cfg, monocular=monocular)
+    return {"params": t.nested()}
+
+
 def load_torch_file(path: str) -> Dict[str, Any]:
     """Load a torch .ckpt/.pth on CPU (weights only where possible)."""
     import torch
