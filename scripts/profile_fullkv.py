@@ -74,8 +74,9 @@ def main():
             timeit(f"{tag} flash (current)", flash_attention, q, q, q, inner=5)
         else:
             timeit(f"{tag} xla (current)", xla_attention, q, q, q, inner=5)
-        for bq in (128, 256, 512, 1024, shape[1] if shape[1] <= 1024 else 0):
-            if not bq or shape[1] % bq or bq * shape[1] * 4 > 6 << 20:
+        for bq in (128, 192, 256, 384, 512, 768, 1024,
+                   shape[1] if shape[1] <= 1024 else 0):
+            if not bq or shape[1] % bq or bq * shape[1] * 4 > 40 << 20:
                 continue
             timeit(f"{tag} fullkv bq={bq}",
                    lambda q, k, v, bq=bq: fullkv_attention(q, k, v, block_q=bq),

@@ -33,13 +33,17 @@ from viewcrafter_tpu.models.unet3d import UNet3D
 def timeit(fn, *args, reps=4, inner=1):
     """inner=1: one ~2.2 s eval dwarfs the tunnel round-trip, and chaining
     multiple evals in one program broke the remote-compile helper (broken
-    pipe at ~3x flagship program size)."""
+    pipe at ~3x flagship program size).
+
+    args[0] must be the PARAMS pytree (passed as a real argument — closing
+    over it captures 2.9 GB of constants and lowering takes tens of minutes);
+    the data-dependence perturbation rides on args[1] (x)."""
 
     def loop(*a):
         s = jnp.float32(0.0)
         for _ in range(inner):
-            a0 = a[0] + (s * 0).astype(a[0].dtype)
-            s = jnp.sum(fn(a0, *a[1:]).astype(jnp.float32))
+            a1 = a[1] + (s * 0).astype(a[1].dtype)
+            s = jnp.sum(fn(a[0], a1, *a[2:]).astype(jnp.float32))
         return s
 
     jl = jax.jit(loop)
@@ -180,15 +184,15 @@ def main():
 
     def make_eval():
         u = UNet3D(cfg.unet)
-        return lambda x, ts, ctx, fs: u.apply(params, x, ts, ctx, fs=fs, shared_prefix=2)
+        return lambda p, x, ts, ctx, fs: u.apply(p, x, ts, ctx, fs=fs, shared_prefix=2)
 
-    full = timeit(make_eval(), x, ts, ctx, fs)
+    full = timeit(make_eval(), params, x, ts, ctx, fs)
     print(f"{'full eval (KB=2, shared_prefix)':<42s} {full*1000:9.2f} ms", flush=True)
 
     for name in names:
         undo = ABLATIONS[name](None)
         try:
-            t = timeit(make_eval(), x, ts, ctx, fs)
+            t = timeit(make_eval(), params, x, ts, ctx, fs)
             print(f"{'without ' + name:<42s} {t*1000:9.2f} ms   marginal {((full-t)*1000):8.2f} ms", flush=True)
         finally:
             undo()

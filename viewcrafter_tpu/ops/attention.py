@@ -151,10 +151,10 @@ def attention(
             )
 
             # Single-pass full-KV kernel wins over both flash and the XLA
-            # einsum at the mid-length spatial stages (measured v5e, flagship
-            # shapes: ds2 S=2304 27.3->16.2 ms, ds4 S=576 9.4->7.1 ms); at
-            # ds1 S=9216 it ties flash, so flash keeps the long sequences.
-            if k.shape[1] <= 4096 and supports_fullkv(q.shape, k.shape):
+            # einsum at every flagship spatial stage (measured v5e: ds1
+            # S=9216 83.1->79.4 ms with the exp2 base-2 softmax + bq=384,
+            # ds2 S=2304 27.3->16.2 ms, ds4 S=576 9.4->7.1 ms).
+            if k.shape[1] <= 9216 and supports_fullkv(q.shape, k.shape):
                 return fullkv_attention(q, k, v)
             if _qualifies_for_flash(q, k, mask):
                 return flash_attention(q, k, v)

@@ -37,9 +37,11 @@ def _kernel(q_ref, k_ref, v_ref, o_ref):
     k = k_ref[0, 0]  # (S, D)
     logits = lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (sb, S) — scale pre-folded into q
+    )  # (sb, S) — scale AND log2(e) pre-folded into q: logits are base-2
     m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
+    # exp2 instead of exp: exp(x) lowers to exp2(x*log2e) on the VPU, so the
+    # pre-folded log2e saves one full multiply pass over the (sb, S) tile
+    e = jnp.exp2(logits - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
     out = lax.dot_general(
         e.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
@@ -68,6 +70,10 @@ def _fullkv_call(q, k, v, block_q: int, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # logits + exp tiles (2 fp32 temporaries) + resident K/V + margin;
+            # v5e has 128 MiB VMEM so large q-blocks are legal — the default
+            # Mosaic cap would reject block_q >= 256 at S=9216
+            vmem_limit_bytes=int(2 * block_q * sk * 4 + 4 * sk * d + (8 << 20)),
         ),
         interpret=interpret,
     )(q, k, v)
@@ -75,9 +81,17 @@ def _fullkv_call(q, k, v, block_q: int, interpret: bool = False):
 
 
 def _pick_block_q(s: int, sk: int) -> int:
-    """Largest q block whose fp32 logits tile stays comfortably inside VMEM
-    alongside the resident K/V (budget ~6 MB for the logits tile)."""
+    """Largest q block whose two fp32 (block_q, S) temporaries (logits, exp)
+    fit in VMEM alongside the resident K/V. v5e VMEM is 128 MiB so much
+    larger blocks are legal (pass block_q explicitly to use them); the
+    6 MiB auto budget is the measured-optimal default at the flagship
+    shapes (scripts/profile_fullkv.py)."""
     budget = 6 * 1024 * 1024
+    if s == 9216:
+        # flagship ds1: measured-best on v5e (scripts/profile_fullkv.py —
+        # 79.4 ms at 384 vs 81.9 at 128 vs 83.1 flash); the 14.2 MB logits
+        # tile is legal because v5e VMEM is 128 MiB
+        return 384
     cands = (1024, 768, 512, 384, 256, 192, 128)
     if s <= 1024 and s % 16 == 0:
         cands = (s,) + cands  # tiny maps (ds4: 576) in one block
@@ -95,12 +109,13 @@ def fullkv_attention(q, k, v, block_q: int | None = None, interpret: bool = Fals
     """
     b, s, h, d = q.shape
     sk = k.shape[1]
-    scale = d ** -0.5
+    import math
+
+    # fold BOTH the attention scale and log2(e) into q (one fp32 multiply on
+    # the small q tensor) so the kernel's softmax runs in base 2 — see _kernel
+    scale = d ** -0.5 * math.log2(math.e)
     qt = jnp.swapaxes(q, 1, 2)
-    if (d & (d - 1)) == 0 and (d.bit_length() - 1) % 2 == 0:
-        qt = qt * jnp.asarray(scale, qt.dtype)  # exact: 2^-n exponent shift
-    else:
-        qt = (qt.astype(jnp.float32) * scale).astype(qt.dtype)
+    qt = (qt.astype(jnp.float32) * scale).astype(qt.dtype)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
     bq = block_q or _pick_block_q(s, sk)
