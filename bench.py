@@ -5,17 +5,19 @@ DDIM-50, perframe VAE — 120 s / 23.5 GB on A100-40G. We measure the SAME
 workload (the full jitted render->encode->sample->decode program, random
 weights — FLOP/bandwidth identical to trained weights) on one TPU chip.
 
-Prints one JSON line per measurement; the LAST line is the headline:
-EXACT sampling (no attention reuse — the like-for-like number against the
-A100 baseline). Secondary lines (printed first):
-  - PAB-3 attention-broadcast mode (approximate sampling, labeled as such)
-  - end-to-end single-view pipeline (dust3r -> align -> render -> diffusion)
-    on a real test image (test/images/boy.png)
+Structure (VERDICT r3 #1): the EXACT headline bench runs FIRST and its JSON
+line is printed (and flushed) the moment it exists, so a later timeout can
+never void the round's number. Secondaries (PAB-3 approximate sampling, the
+e2e single-view pipeline) run only if wall-clock budget remains, each
+printing its own line as it completes. The headline line is re-printed LAST
+because the driver parses the final JSON line.
 
 Env knobs: VIEWCRAFTER_BENCH_MODEL (default viewcrafter_25),
 VIEWCRAFTER_BENCH_STEPS (default 50), VIEWCRAFTER_BENCH_REPS (default 2),
 VIEWCRAFTER_BENCH_PAB (default 1 = exact), VIEWCRAFTER_BENCH_SECONDARY /
-VIEWCRAFTER_BENCH_E2E (default 1; 0 skips the extra lines).
+VIEWCRAFTER_BENCH_E2E (default 1; 0 skips the extra lines),
+VIEWCRAFTER_BENCH_BUDGET_S (wall-clock budget, default 1800 s — secondaries
+and extra reps are skipped once it is spent).
 """
 
 import json
@@ -32,6 +34,17 @@ BASELINES = {
     "viewcrafter_16": 75.0,
     "viewcrafter_25_512": 50.0,
 }
+
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("VIEWCRAFTER_BENCH_BUDGET_S", "1800"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.time() - _T0)
+
+
+def _emit(line: dict) -> None:
+    print(json.dumps(line), flush=True)
 
 
 def bench_engine(model_name, steps, reps, pab, pab_kinds, pab_sites, pab_dtype):
@@ -72,22 +85,25 @@ def bench_engine(model_name, steps, reps, pab, pab_kinds, pab_sites, pab_dtype):
         # early through the experimental axon tunnel, a D2H read cannot
         return float(jnp.sum(out[0, 0, 0, 0]))
 
-    # the serving TPU worker occasionally restarts (~10 min); retry the
-    # warm-up so a transient doesn't void the whole benchmark
-    for attempt in range(3):
+    # the serving TPU worker occasionally restarts; retry the warm-up once
+    # with a SHORT sleep (VERDICT r3: the old 2x300 s sleeps blew the budget)
+    for attempt in range(2):
         try:
             run(0)  # compile
             break
         except Exception as e:  # pragma: no cover
-            if attempt == 2:
+            if attempt == 1 or _remaining() < 120:
                 raise
-            print(f"# warm-up failed ({type(e).__name__}); retrying in 300s", file=sys.stderr)
-            time.sleep(300)
+            print(f"# warm-up failed ({type(e).__name__}); retrying in 60s", file=sys.stderr)
+            time.sleep(60)
     times = []
     for i in range(reps):
         t0 = time.time()
         run(i + 1)
         times.append(time.time() - t0)
+        # drop extra reps once over budget — one rep is a valid number
+        if _remaining() < times[-1] * 1.2:
+            break
     return min(times)
 
 
@@ -96,8 +112,6 @@ def bench_e2e(model_name, steps):
     inference -> 300-iter global alignment -> 25-view point rasterization ->
     DDIM-50 diffusion (VERDICT r2 #2). First run compiles; the second run is
     the reported steady-state number."""
-    import numpy as np
-
     from viewcrafter_tpu.pipeline import InferenceOptions, ViewCrafterPipeline
 
     img = os.path.join(os.path.dirname(os.path.abspath(__file__)), "test", "images", "boy.png")
@@ -121,7 +135,9 @@ def bench_e2e(model_name, steps):
         pipe.nvs_single_view(save_suffix="_bench")
         return time.time() - t0
 
-    once()  # compile + warm caches (dust3r/align/render/diffusion programs)
+    first = once()  # compile + warm caches (dust3r/align/render/diffusion)
+    if _remaining() < first * 1.2:
+        return first  # over budget: report the cold number rather than none
     return once()
 
 
@@ -147,14 +163,32 @@ def main():
     )
     pab_dtype = os.environ.get("VIEWCRAFTER_BENCH_PAB_DTYPE", "bf16")
 
-    secondary = []
+    from viewcrafter_tpu.config import get_model_config
 
-    # secondary line: PAB-3 approximate mode (skipped when the main run is
-    # already a PAB run, e.g. via VIEWCRAFTER_BENCH_PAB=3)
-    if pab == 1 and os.environ.get("VIEWCRAFTER_BENCH_SECONDARY", "1") == "1":
+    cfg = get_model_config(model_name)
+
+    # ---- headline FIRST: exact sampling, printed the moment it exists ----
+    value = bench_engine(model_name, steps, reps, pab, pab_kinds, pab_sites, pab_dtype)
+    headline = {
+        "metric": (
+            f"sec/video ({cfg.height}x{cfg.width}x{cfg.video_length}, "
+            f"DDIM-{steps}, {'PAB-' + str(pab) if pab > 1 else 'exact'}) per chip"
+        ),
+        "value": round(value, 2),
+        "unit": "s",
+        "vs_baseline": round(baseline / value, 3),
+    }
+    _emit(headline)
+
+    # ---- secondaries, budget permitting (each prints as it completes) ----
+    if (
+        pab == 1
+        and os.environ.get("VIEWCRAFTER_BENCH_SECONDARY", "1") == "1"
+        and _remaining() > 180
+    ):
         try:
             v = bench_engine(model_name, steps, 1, 3, pab_kinds, pab_sites, pab_dtype)
-            secondary.append({
+            _emit({
                 "metric": "sec/video PAB-3 attention-reuse (approximate sampling; secondary)",
                 "value": round(v, 2), "unit": "s",
                 "vs_baseline": round(baseline / v, 3),
@@ -162,12 +196,11 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"# PAB secondary failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # secondary line: end-to-end single-view pipeline on a real image
-    if os.environ.get("VIEWCRAFTER_BENCH_E2E", "1") == "1":
+    if os.environ.get("VIEWCRAFTER_BENCH_E2E", "1") == "1" and _remaining() > 300:
         try:
             v = bench_e2e(model_name, steps)
             if v is not None:
-                secondary.append({
+                _emit({
                     "metric": "sec e2e single-view pipeline (dust3r+align+render+diffusion; secondary)",
                     "value": round(v, 2), "unit": "s",
                     # the A100 baseline (120 s) covers the diffusion stage only;
@@ -177,27 +210,8 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"# e2e secondary failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    value = bench_engine(model_name, steps, reps, pab, pab_kinds, pab_sites, pab_dtype)
-
-    for line in secondary:
-        print(json.dumps(line))
-    # headline LAST (the driver parses the final JSON line): exact sampling
-    from viewcrafter_tpu.config import get_model_config
-
-    cfg = get_model_config(model_name)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"sec/video ({cfg.height}x{cfg.width}x{cfg.video_length}, "
-                    f"DDIM-{steps}, {'PAB-' + str(pab) if pab > 1 else 'exact'}) per chip"
-                ),
-                "value": round(value, 2),
-                "unit": "s",
-                "vs_baseline": round(baseline / value, 3),
-            }
-        )
-    )
+    # headline LAST too (the driver parses the final JSON line)
+    _emit(headline)
 
 
 if __name__ == "__main__":

@@ -60,4 +60,10 @@ def test_qualification():
     )  # K/V too big for VMEM residency
     # tiny maps run as a single q block; big maps tile under the VMEM budget
     assert _pick_block_q(576, 576) == 576
-    assert _pick_block_q(9216, 9216) == 128
+    # flagship ds1 self-attention: measured-best 384 on v5e (the special case
+    # in _pick_block_q; scripts/profile_fullkv.py)
+    assert _pick_block_q(9216, 9216) == 384
+    # the 384 special case is sk-gated: a different KV length at s=9216 falls
+    # back to the conservative 6 MiB budget (block*sk*4 <= budget)
+    assert _pick_block_q(9216, 4608) == 256
+    assert _pick_block_q(9216, 2304) == 512

@@ -87,10 +87,12 @@ def _pick_block_q(s: int, sk: int) -> int:
     6 MiB auto budget is the measured-optimal default at the flagship
     shapes (scripts/profile_fullkv.py)."""
     budget = 6 * 1024 * 1024
-    if s == 9216:
-        # flagship ds1: measured-best on v5e (scripts/profile_fullkv.py —
-        # 79.4 ms at 384 vs 81.9 at 128 vs 83.1 flash); the 14.2 MB logits
-        # tile is legal because v5e VMEM is 128 MiB
+    if s == 9216 and sk == 9216:
+        # flagship ds1 self-attention: measured-best on v5e
+        # (scripts/profile_fullkv.py — 79.4 ms at 384 vs 81.9 at 128 vs 83.1
+        # flash); the 14.2 MB logits tile is legal because v5e VMEM is
+        # 128 MiB. Gated on sk too: at other KV lengths the 384 block is
+        # unmeasured, so fall through to the conservative budget below.
         return 384
     cands = (1024, 768, 512, 384, 256, 192, 128)
     if s <= 1024 and s % 16 == 0:
