@@ -91,3 +91,47 @@ def test_sceneviz_ply(tmp_path):
     nv = int([l for l in lines if l.startswith("element vertex")][0].split()[-1])
     faces = [l for l in lines if l.startswith("3 ")]
     assert all(int(tok) < nv for f in faces for tok in f.split()[1:])
+
+
+def test_segment_sky_golden():
+    """Our segment_sky matches the reference pixel-for-pixel
+    (extern/dust3r/dust3r/viz.py:284-320) on a synthetic sky scene."""
+    import os
+    import sys
+
+    import pytest
+
+    pytest.importorskip("torch")
+    REF = "/root/reference"
+    if not os.path.isdir(os.path.join(REF, "extern/dust3r")):
+        pytest.skip("reference tree absent")
+    # dust3r.viz transitively needs torchvision (absent here); execute just
+    # the reference segment_sky function source instead of importing the module
+    import ast
+
+    import torch
+
+    src = open(os.path.join(REF, "extern/dust3r/dust3r/viz.py")).read()
+    tree = ast.parse(src)
+    fn = next(n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name == "segment_sky")
+    ns = {"np": np, "torch": torch, "to_numpy": np.asarray}
+    exec(compile(ast.Module([fn], []), "ref_viz", "exec"), ns)
+    ref_segment_sky = ns["segment_sky"]
+
+    from viewcrafter_tpu.utils.viz import segment_sky
+
+    rng = np.random.default_rng(0)
+    h, w = 96, 128
+    img = np.zeros((h, w, 3), np.float32)
+    # luminous gray sky with a gradient + textured "ground" below
+    img[: h // 2] = np.linspace(0.75, 0.95, h // 2)[:, None, None]
+    img[h // 2:] = rng.uniform(0.0, 0.5, (h - h // 2, w, 3))
+    # a blue patch (the reference's BGR2HSV quirk applies to both)
+    img[10:30, 40:80] = (0.9, 0.5, 0.2)
+
+    ours = segment_sky(img)
+    ref = np.asarray(ref_segment_sky(img))
+    assert ours.dtype == bool and ours.shape == (h, w)
+    assert ours.sum() > 0  # the sky region is detected at all
+    np.testing.assert_array_equal(ours, ref)

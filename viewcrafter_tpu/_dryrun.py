@@ -127,6 +127,80 @@ def inference_dryrun(mesh) -> None:
     )
 
 
+def flagship_compile_dryrun(mesh, name: str = "") -> str:
+    """AOT-compile the REAL flagship training-step program over the dp x sp
+    mesh with abstract inputs (VERDICT r3 #6): params, optimizer state and
+    batch are ShapeDtypeStructs, so the 1.4 B-param model is never
+    materialized — but XLA still runs the SPMD partitioner and layout
+    assignment, which is where flagship-only sharding bugs (uneven tiling,
+    collective layouts, OOM-shaped all-gathers) live. Returns a summary."""
+    import dataclasses
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from viewcrafter_tpu.config import get_model_config
+    from viewcrafter_tpu.models.unet3d import UNet3D
+    from viewcrafter_tpu.ops.schedule import DiffusionSchedule
+    from viewcrafter_tpu.training import create_train_state, make_train_step
+
+    name = name or os.environ.get("VIEWCRAFTER_DRYRUN_FLAGSHIP", "viewcrafter_25")
+    if name in ("", "none"):
+        return "flagship compile skipped (VIEWCRAFTER_DRYRUN_FLAGSHIP unset)"
+    cfg = get_model_config(name)
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    # frames round UP to an sp multiple (25 -> 28 at sp=4): jit in_shardings
+    # need a divisible axis; same convention as the executed tiny dryrun
+    t = -(-cfg.video_length // sp) * sp
+    model_cfg = dataclasses.replace(cfg, video_length=t)
+    # remat=True is the shipped flagship *training* configuration
+    model = UNet3D(cfg=cfg.unet, remat=True)
+    sched = DiffusionSchedule.create(timesteps=cfg.diffusion.timesteps)
+    tx = optax.adamw(1e-4)
+
+    repl = NamedSharding(mesh, P())
+    vid = NamedSharding(mesh, P("dp", "sp"))
+    dps = NamedSharding(mesh, P("dp"))
+
+    def _abs(shapes, sharding):
+        return jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sharding), shapes)
+
+    state_abs = _abs(
+        jax.eval_shape(lambda r: create_train_state(model, r, model_cfg, tx),
+                       jax.random.PRNGKey(0)),
+        repl,
+    )
+    h, w = cfg.diffusion.latent_size
+    ctx_len = cfg.clip_text.context_length + cfg.resampler.num_queries * (
+        cfg.resampler.video_length or 1
+    )
+    batch_abs = {
+        "latents": jax.ShapeDtypeStruct((dp, t, h, w, 4), jnp.float32, sharding=vid),
+        "cond_latents": jax.ShapeDtypeStruct((dp, t, h, w, 4), jnp.float32, sharding=vid),
+        "context": jax.ShapeDtypeStruct(
+            (dp, ctx_len, cfg.unet.context_dim), jnp.float32, sharding=dps),
+        "fs": jax.ShapeDtypeStruct((dp,), jnp.float32, sharding=dps),
+    }
+    rng_abs = _abs(jax.eval_shape(jax.random.PRNGKey, 0), repl)
+
+    step = make_train_step(model, sched, tx, mesh=mesh)
+    t0 = time.time()
+    compiled = step.lower(state_abs, batch_abs, rng_abs).compile()
+    n_params = sum(
+        int(np.prod(s.shape)) for s in
+        jax.tree_util.tree_leaves(state_abs.params)
+    ) if hasattr(state_abs, "params") else 0
+    del compiled
+    return (f"flagship compile ok: {name} ({n_params/1e9:.2f}B params, "
+            f"t={t} dp={dp} sp={sp}, {time.time()-t0:.0f}s AOT)")
+
+
 def main(n_devices: int) -> None:
     import jax
 
@@ -139,6 +213,7 @@ def main(n_devices: int) -> None:
     print(f"train step ok: dp={dp} sp={sp}, loss={loss:.4f}", flush=True)
     inference_dryrun(mesh)
     print(f"sharded inference ok: dp={dp} sp={sp} (matches single-device)", flush=True)
+    print(flagship_compile_dryrun(mesh), flush=True)
 
 
 if __name__ == "__main__":

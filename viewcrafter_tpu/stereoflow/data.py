@@ -31,6 +31,7 @@ from glob import glob
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
+from PIL import Image
 
 # roots mirror datasets_stereo.py:25-39 / datasets_flow.py:24-31, overridable
 STEREOFLOW_ROOT = os.environ.get("VIEWCRAFTER_STEREOFLOW_ROOT", "./data/stereoflow")
@@ -374,6 +375,37 @@ class PairDataset:
     def pairname_to_str(self, pairname) -> str:
         return str(pairname)
 
+    # benchmark submission hooks (datasets_stereo.py:344-358 etc.; only the
+    # datasets with a public leaderboard implement them) -------------------
+    submission_methodname = "CroCo-Stereo"
+
+    def submission_save_pairname(self, pairname, prediction: np.ndarray,
+                                  outdir: str, time: float) -> None:
+        raise NotImplementedError(
+            f"{self.name} has no benchmark submission format")
+
+    def finalize_submission(self, outdir: str) -> None:
+        raise NotImplementedError(
+            f"{self.name} has no benchmark submission format")
+
+
+def _zip_dir(outdir: str, zipname: str, subdir: str = ".") -> str:
+    """`cd outdir && zip -r zipname subdir` without spawning a shell
+    (the reference shells out, datasets_stereo.py:355-358)."""
+    import zipfile
+
+    base = outdir if subdir == "." else osp.join(outdir, subdir)
+    zpath = osp.join(outdir, zipname)
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _, files in os.walk(base):
+            for f in sorted(files):
+                full = osp.join(dirpath, f)
+                if osp.abspath(full) == osp.abspath(zpath):
+                    continue
+                zf.write(full, osp.relpath(full, outdir))
+    print(f"Done. Submission file at {zpath}")
+    return zpath
+
 
 # ----- stereo layouts (datasets_stereo.py:137-539) -------------------------
 
@@ -473,6 +505,17 @@ class Kitti12Stereo(PairDataset):
     def pairname_to_str(self, p):
         return p.replace("/colored_0/", "/")
 
+    def submission_save_pairname(self, p, prediction, outdir, time):
+        # uint16 disparity*256 PNG (datasets_stereo.py:487-493)
+        assert prediction.ndim == 2 and prediction.dtype == np.float32
+        outfile = osp.join(outdir, p.split("/")[-1] + "_10.png")
+        os.makedirs(osp.dirname(outfile), exist_ok=True)
+        Image.fromarray((prediction * 256).astype("uint16")).save(outfile)
+
+    def finalize_submission(self, outdir):
+        assert self.split == "test"
+        _zip_dir(outdir, "kitti12_results.zip")
+
 
 class Kitti15Stereo(PairDataset):
     name = "Kitti15"
@@ -506,6 +549,17 @@ class Kitti15Stereo(PairDataset):
     def pairname_to_str(self, p):
         return p.replace("/image_2/", "/")
 
+    def submission_save_pairname(self, p, prediction, outdir, time):
+        # disp_0/<id>_10.png uint16 disparity*256 (datasets_stereo.py:523-529)
+        assert prediction.ndim == 2 and prediction.dtype == np.float32
+        outfile = osp.join(outdir, "disp_0", p.split("/")[-1] + "_10.png")
+        os.makedirs(osp.dirname(outfile), exist_ok=True)
+        Image.fromarray((prediction * 256).astype("uint16")).save(outfile)
+
+    def finalize_submission(self, outdir):
+        assert self.split == "test"
+        _zip_dir(outdir, "kitti15_results.zip", "disp_0")
+
 
 class ETH3DLowRes(PairDataset):
     name = "ETH3DLowRes"
@@ -534,6 +588,18 @@ class ETH3DLowRes(PairDataset):
             "subval": subval,
             "subtrain": [p for p in train if p not in subval],
         }[split]
+
+    def submission_save_pairname(self, p, prediction, outdir, time):
+        # low_res_two_view/<scene>.pfm + runtime sidecar (datasets_stereo.py:384-392)
+        assert prediction.ndim == 2 and prediction.dtype == np.float32
+        outfile = osp.join(outdir, "low_res_two_view", p.split("/")[1] + ".pfm")
+        os.makedirs(osp.dirname(outfile), exist_ok=True)
+        write_pfm(outfile, prediction)
+        with open(outfile[:-4] + ".txt", "w") as fid:
+            fid.write("runtime " + str(time))
+
+    def finalize_submission(self, outdir):
+        _zip_dir(outdir, "eth3d_low_res_two_view_results.zip", "low_res_two_view")
 
 
 class SpringStereo(PairDataset):
@@ -574,6 +640,23 @@ class SpringStereo(PairDataset):
                 for s in sorted(os.listdir(osp.join(self.root, "test")))
                 for f in sorted(os.listdir(osp.join(self.root, "test", s, "frame_left")))]
         return test + [p.replace("frame_left", "frame_right") for p in test]
+
+    def submission_save_pairname(self, p, prediction, outdir, time):
+        # disp1_{left,right} .dsp5 (datasets_stereo.py:449-455)
+        assert prediction.ndim == 2 and prediction.dtype == np.float32
+        outfile = (osp.join(outdir, p + ".dsp5")
+                   .replace("frame_left", "disp1_left")
+                   .replace("frame_right", "disp1_right"))
+        os.makedirs(osp.dirname(outfile), exist_ok=True)
+        write_dsp5(outfile, prediction)
+
+    def finalize_submission(self, outdir):
+        # the Spring benchmark requires the organizers' disp1_subsampling
+        # binary (datasets_stereo.py:456-466; NB the reference's isfile check
+        # never fires — the path string is missing its f-prefix)
+        assert self.split == "test"
+        print("Run the Spring disp1_subsampling executable to finish:")
+        print(f'cd "{outdir}/test"; <disp1_subsampling_exe> .')
 
 
 def _middlebury(name_, subdir, right_name, disp_builder, pair_builder,
@@ -673,6 +756,95 @@ Middlebury2005 = _middlebury(
 )
 
 
+class MdEval3(PairDataset):
+    """Middlebury Eval v3 benchmark (datasets_stereo.py:311-358): splits are
+    <subset>_<full|half|quarter>; full/half live in suffixed sibling roots."""
+
+    name = "MiddleburyEval3"
+    default_subdir = "middlebury/MiddEval3"
+    has_constant_resolution = False
+
+    def __init__(self, split: str, root: Optional[str] = None, **kw):
+        r = root or osp.join(STEREOFLOW_ROOT, self.default_subdir)
+        if split.endswith("_full"):
+            r = r.replace("/MiddEval3", "/MiddEval3_F")
+            self.submission_sresolution = "F"
+        elif split.endswith("_half"):
+            r = r.replace("/MiddEval3", "/MiddEval3_H")
+            self.submission_sresolution = "H"
+        else:
+            assert split.endswith("_quarter"), split
+            self.submission_sresolution = "Q"
+        super().__init__(split, root=r, **kw)
+
+    def _img1(self, p):
+        return osp.join(self.root, p, "im0.png")
+
+    def _img2(self, p):
+        return osp.join(self.root, p, "im1.png")
+
+    def _gt(self, p):
+        return None if p.startswith("test") else osp.join(self.root, p, "disp0GT.pfm")
+
+    _load_gt = staticmethod(read_pfm_disp)
+
+    def _pairs(self, split):
+        subset = split.rsplit("_", 1)[0]
+        train = ["train/" + s for s in sorted(os.listdir(osp.join(self.root, "train")))]
+        test = ["test/" + s for s in sorted(os.listdir(osp.join(self.root, "test")))]
+        _warn_count(self.name, len(train) + len(test), 30)
+        return {"train": train, "test": test, "all": train + test,
+                "subval": train[-1:], "subtrain": train[:-1]}[subset]
+
+    def submission_save_pairname(self, p, prediction, outdir, time):
+        # training<res>/<seq>/disp0<method>.pfm + time sidecar (:344-352)
+        assert prediction.ndim == 2 and prediction.dtype == np.float32
+        sub, seq = p.split("/")
+        d = osp.join(outdir, sub.replace("train", "training") + self.submission_sresolution, seq)
+        os.makedirs(d, exist_ok=True)
+        write_pfm(osp.join(d, "disp0" + self.submission_methodname + ".pfm"), prediction)
+        with open(osp.join(d, "time" + self.submission_methodname + ".txt"), "w") as fid:
+            fid.write(str(time))
+
+    def finalize_submission(self, outdir):
+        _zip_dir(outdir, self.submission_methodname + ".zip")
+
+
+class Booster(PairDataset):
+    """Booster balanced split (datasets_stereo.py:407-428): every camera_00
+    image of a sequence shares one disp_00.npy ground truth."""
+
+    name = "Booster"
+    default_subdir = "booster_gt"
+
+    def _img1(self, p):
+        return osp.join(self.root, p)
+
+    def _img2(self, p):
+        return osp.join(self.root, p).replace("/camera_00/", "/camera_02/")
+
+    def _gt(self, p):
+        return osp.join(self.root, osp.dirname(p), "../disp_00.npy")
+
+    _load_gt = staticmethod(read_booster_disp)
+
+    def _pairs(self, split):
+        assert split in ("train_balanced", "test_balanced",
+                         "subtrain_balanced", "subval_balanced"), split
+        sub = "test" if split.startswith("test") else "train"
+        seqs = sorted(os.listdir(osp.join(self.root, sub, "balanced")))
+        pairs = [f"{sub}/balanced/{s}/camera_00/{f}" for s in seqs
+                 for f in sorted(os.listdir(osp.join(self.root, sub, "balanced", s, "camera_00")))]
+        if split == "subtrain_balanced":
+            return [p for p in pairs if any(f"/{s}/" in p for s in seqs[:-2])]
+        if split == "subval_balanced":
+            return [p for p in pairs if any(f"/{s}/" in p for s in seqs[-2:])]
+        return pairs
+
+    def pairname_to_str(self, p):
+        return p[:-4].replace("/camera_00/", "/")
+
+
 # ----- flow layouts (datasets_flow.py:120-376) ------------------------------
 
 
@@ -739,6 +911,22 @@ class MPISintel(PairDataset):
 
     def pairname_to_str(self, p):
         return osp.join(p[0], "frame_{:04d}".format(p[1]))
+
+    submission_methodname = "CroCo-Flow"
+
+    def submission_save_pairname(self, p, prediction, outdir, _time):
+        # submission/<test/{clean,final}/seq/frame>.flo (datasets_flow.py:234-238)
+        assert prediction.shape[2] == 2
+        outfile = osp.join(outdir, "submission", self.pairname_to_str(p) + ".flo")
+        os.makedirs(osp.dirname(outfile), exist_ok=True)
+        write_flo(outfile, prediction)
+
+    def finalize_submission(self, outdir):
+        # Sintel requires the organizers' bundler binary (datasets_flow.py:240-251)
+        assert self.split == "test_allpass"
+        print("Run the MPI-Sintel bundler to finish:")
+        print(f'<bundle_exe> "{outdir}/submission/test/clean/" '
+              f'"{outdir}/submission/test/final" "{outdir}/submission/bundled.lzma"')
 
 
 class TartanAir(PairDataset):
@@ -864,6 +1052,22 @@ class SpringFlow(PairDataset):
                       for s in seqs for f in frames[s]]
         return pairs
 
+    def submission_save_pairname(self, p, prediction, outdir, time):
+        # flow_{FW,BW}_{left,right}_NNNN.flo5 (datasets_flow.py:285-291)
+        assert prediction.ndim == 3 and prediction.shape[2] == 2
+        assert prediction.dtype == np.float32
+        outfile = osp.join(outdir, p[0], p[1], f"flow_{p[2]}_{p[3]}",
+                           f"flow_{p[2]}_{p[3]}_{p[4]:04d}.flo5")
+        os.makedirs(osp.dirname(outfile), exist_ok=True)
+        write_flo5(outfile, prediction)
+
+    def finalize_submission(self, outdir):
+        # Spring requires the organizers' flow_subsampling binary
+        # (datasets_flow.py:293-302)
+        assert self.split == "test"
+        print("Run the Spring flow_subsampling executable to finish:")
+        print(f'cd "{outdir}/test"; <flow_subsampling_exe> .')
+
 
 class Kitti12Flow(Kitti12Stereo):
     gt_channels = 2
@@ -877,6 +1081,17 @@ class Kitti12Flow(Kitti12Stereo):
         return osp.join(self.root, p.replace("/colored_0/", "/flow_occ/") + "_10.png")
 
     _load_gt = staticmethod(read_kitti_flow)
+
+    def submission_save_pairname(self, p, prediction, outdir, time):
+        # <id>_10.png KITTI uint16 flow encoding (datasets_flow.py:326-331)
+        assert prediction.ndim == 3 and prediction.shape[2] == 2
+        outfile = osp.join(outdir, p.split("/")[-1] + "_10.png")
+        os.makedirs(osp.dirname(outfile), exist_ok=True)
+        write_kitti_flow(outfile, prediction)
+
+    def finalize_submission(self, outdir):
+        assert self.split == "test"
+        _zip_dir(outdir, "kitti12_flow_results.zip")
 
 
 class Kitti15Flow(Kitti15Stereo):
@@ -903,11 +1118,23 @@ class Kitti15Flow(Kitti15Stereo):
         assert split == "test"
         return ["testing/image_2/%06d" % i for i in range(200)]
 
+    def submission_save_pairname(self, p, prediction, outdir, time):
+        # flow/<id>_10.png KITTI uint16 flow encoding (datasets_flow.py:363-369)
+        assert prediction.ndim == 3 and prediction.shape[2] == 2
+        outfile = osp.join(outdir, "flow", p.split("/")[-1] + "_10.png")
+        os.makedirs(osp.dirname(outfile), exist_ok=True)
+        write_kitti_flow(outfile, prediction)
+
+    def finalize_submission(self, outdir):
+        assert self.split == "test"
+        _zip_dir(outdir, "kitti15_flow_results.zip", "flow")
+
 
 STEREO_DATASETS: Dict[str, type] = {
     "SceneFlow": SceneFlowStereo, "CREStereo": CREStereo,
     "Middlebury2021": Middlebury2021, "Middlebury2014": Middlebury2014,
     "Middlebury2006": Middlebury2006, "Middlebury2005": Middlebury2005,
+    "MiddleburyEval3": MdEval3, "Booster": Booster,
     "ETH3DLowRes": ETH3DLowRes, "Spring": SpringStereo,
     "Kitti12": Kitti12Stereo, "Kitti15": Kitti15Stereo,
 }

@@ -139,3 +139,45 @@ def save_scene_ply(path: str, pts3d, colors, c2ws, focals=None,
     viz.add_pointcloud(pts3d, colors, mask=mask)
     viz.add_cameras(c2ws, focals=focals, imsizes=imsizes)
     return viz.save_ply(path)
+
+
+def segment_sky(image) -> np.ndarray:
+    """Heuristic sky mask (viz.py:284-320): HSV range for blue + luminous
+    grays, 5x5 binary opening, then keep the largest connected components
+    (all CCs at least half the size of the biggest). Returns a (H, W) bool
+    numpy mask.
+
+    Parity notes: the reference converts with COLOR_BGR2HSV even though its
+    images are RGB — we keep that quirk so masks match bit-for-bit; its
+    scipy binary_opening zero-pads outside the image, so the cv2 morphology
+    here uses borderValue=0 explicitly (cv2's default border is +inf for
+    erosion, which would keep border pixels).
+    """
+    import cv2
+
+    image = np.asarray(image)
+    if np.issubdtype(image.dtype, np.floating):
+        image = np.uint8(255 * image.clip(min=0, max=1))
+    hsv = cv2.cvtColor(image, cv2.COLOR_BGR2HSV)
+
+    # blue range + luminous grays (viz.py:294-302)
+    mask = cv2.inRange(hsv, np.array([0, 0, 100]), np.array([30, 255, 255])) > 0
+    mask |= (hsv[:, :, 1] < 10) & (hsv[:, :, 2] > 150)
+    mask |= (hsv[:, :, 1] < 30) & (hsv[:, :, 2] > 180)
+    mask |= (hsv[:, :, 1] < 50) & (hsv[:, :, 2] > 220)
+
+    kernel = np.ones((5, 5), np.uint8)
+    opened = cv2.morphologyEx(
+        mask.astype(np.uint8), cv2.MORPH_OPEN, kernel, borderValue=0)
+
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(opened, connectivity=8)
+    if n <= 1:
+        return np.zeros(mask.shape, bool)
+    cc_sizes = stats[1:, cv2.CC_STAT_AREA]
+    order = cc_sizes.argsort()[::-1]
+    selection = []
+    i = 0
+    while i < len(order) and cc_sizes[order[i]] > cc_sizes[order[0]] / 2:
+        selection.append(1 + order[i])
+        i += 1
+    return np.isin(labels, selection)
