@@ -75,6 +75,56 @@ class LayerNormF32(nn.Module):
         return y.astype(x.dtype)
 
 
+class _ScaleBias(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
+class LNParams(nn.Module):
+    """LayerNormF32-compatible parameter holder
+    (<name>/LayerNorm_0/{scale,bias}) for layers that fuse the norm into a
+    Pallas kernel; checkpoints stay interchangeable with LayerNormF32."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _ScaleBias(self.features, name="LayerNorm_0")()
+
+
+class DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact layout (<name>/{kernel,bias})
+    so fused kernels can consume the raw weights while checkpoints stay
+    interchangeable with the Dense-module path."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
+def layer_norm_f32(x, scale, bias, eps=1e-5):
+    """Two-pass f32 LayerNorm matching LayerNormF32 semantics."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return ((xc * jax.lax.rsqrt(var + eps)) * scale + bias).astype(x.dtype)
+
+
 def Dense(features: int, *, use_bias: bool = True, dtype=jnp.bfloat16, zero_init: bool = False, name=None):
     return nn.Dense(
         features,
@@ -110,32 +160,60 @@ def Conv(
     )
 
 
-class GEGLU(nn.Module):
-    """x, gate = proj(x).split(2); x * gelu(gate)  (cf. lvdm/modules/attention.py:415-422)."""
+class _GEGLUParams(nn.Module):
+    """GEGLU-compatible parameter holder (<name>/proj/{kernel,bias})."""
 
-    dim_out: int
-    dtype: Dtype = jnp.bfloat16
+    in_features: int
+    inner: int
 
     @nn.compact
-    def __call__(self, x):
-        h = Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        # exact erf GELU: the reference uses torch.nn.functional.gelu default
-        return h * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(h.dtype)
+    def __call__(self):
+        return DenseParams(self.in_features, self.inner * 2, name="proj")()
 
 
 class FeedForward(nn.Module):
-    """Transformer MLP with GEGLU gating (cf. attention.py:425-442)."""
+    """Transformer MLP with GEGLU gating (cf. attention.py:425-442).
+
+    `ln`: optional (scale, bias) of the preceding LayerNorm; when given, the
+    norm is applied inside so that on TPU the whole branch (LayerNorm +
+    GEGLU + out projection) runs as ONE Pallas kernel
+    (ops/pallas/ff_layer.py) — the unfused chain materializes the
+    8x-activation-size GEGLU intermediate in HBM."""
 
     dim: int
     mult: int = 4
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None):
+        import os
+
+        from viewcrafter_tpu.ops.attention import _on_tpu
+        from viewcrafter_tpu.ops.pallas.ff_layer import (
+            fused_ff_layer, supports_fused_ff,
+        )
+
         inner = int(self.dim * self.mult)
-        h = GEGLU(inner, dtype=self.dtype, name="geglu")(x)
-        return Dense(self.dim, dtype=self.dtype, name="out")(h)
+        w1, b1 = _GEGLUParams(self.dim, inner, name="geglu")()
+        w2, b2 = DenseParams(inner, self.dim, name="out")()
+
+        fuse = (
+            ln is not None
+            and os.environ.get("VIEWCRAFTER_ATTN_IMPL", "auto") != "xla"
+            and _on_tpu() and supports_fused_ff(x.shape, self.dim, inner)
+        )
+        if fuse:
+            return fused_ff_layer(x, ln[0], ln[1], w1, b1, w2, b2)
+
+        if ln is not None:
+            x = layer_norm_f32(x, ln[0], ln[1])
+        xc = x.astype(self.dtype)
+        y = xc @ w1.astype(self.dtype) + b1.astype(self.dtype)
+        # GEGLU split order + exact erf GELU per the reference's
+        # torch.nn.functional.gelu default (attention.py:415-422)
+        h, gate = jnp.split(y, 2, axis=-1)
+        g = h * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(h.dtype)
+        return g @ w2.astype(self.dtype) + b2.astype(self.dtype)
 
 
 def silu(x):

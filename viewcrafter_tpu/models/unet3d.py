@@ -32,9 +32,12 @@ from viewcrafter_tpu.config import UNetConfig
 from viewcrafter_tpu.models.layers import (
     Conv,
     Dense,
+    DenseParams as _DenseParams,
     FeedForward,
     GroupNorm32,
     LayerNormF32,
+    LNParams as _LNParams,
+    layer_norm_f32 as _layer_norm_f32,
     silu,
 )
 from viewcrafter_tpu.ops.attention import attention
@@ -201,9 +204,9 @@ class TransformerBlock(nn.Module):
         kind2 = "cross" if context is not None else "spatial"
         x = x + cache.site(kind2, site + "/attn2",
                            lambda: attn2(LayerNormF32(name="norm2")(x), context=context, mask=mask))
+        ln3 = _LNParams(self.dim, name="norm3")()
         ff = FeedForward(self.dim, dtype=self.dtype, name="ff")
-        x = x + cache.site("ff", site + "/ff",
-                           lambda: ff(LayerNormF32(name="norm3")(x)))
+        x = x + cache.site("ff", site + "/ff", lambda: ff(x, ln=ln3))
         return x
 
 
@@ -298,11 +301,20 @@ def _gather_relative(table, tq: int, tk: int, max_rel: int):
 class TemporalSelfAttention(nn.Module):
     """CrossAttention-compatible params (to_q/k/v/out) acting on (B,T,S,C).
 
+    `ln`: optional (scale, bias) of the preceding LayerNorm; when given, the
+    norm is applied INSIDE this module so that on TPU the whole layer
+    (LayerNorm + QKV projection + attention + out projection) runs as ONE
+    Pallas kernel (ops/pallas/temporal_layer.py) — the unfused composition
+    pays ~12 HBM passes over the activation against the kernel's 2
+    (measured 21.3 -> 7.4 ms per flagship ds1 site, scripts/
+    profile_temporal_v4.py).
+
     relative_position=True adds the Shaw-style learned relative-position
     bias the reference builds when `use_relative_position` is set
     (attention.py:59-63,104-123; off in every shipped config): two
     (2*temporal_length+1, dim_head) tables shared across heads, one biasing
-    the logits via q·k2, one the output via probs·v2."""
+    the logits via q·k2, one the output via probs·v2. Forces the unfused
+    path."""
 
     heads: int
     dim_head: int
@@ -312,13 +324,21 @@ class TemporalSelfAttention(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, mask=None):
-        b, t, s, _ = x.shape
+    def __call__(self, x, mask=None, ln=None):
+        import os
+
+        from viewcrafter_tpu.ops.attention import _on_tpu
+        from viewcrafter_tpu.ops.pallas.temporal_layer import (
+            fused_temporal_layer, supports_fused_layer,
+        )
+
+        b, t, s, c = x.shape
         h, d = self.heads, self.dim_head
         inner = h * d
-        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x).reshape(b, t, s, h, d)
-        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x).reshape(b, t, s, h, d)
-        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x).reshape(b, t, s, h, d)
+        wq, _ = _DenseParams(c, inner, use_bias=False, name="to_q")()
+        wk, _ = _DenseParams(c, inner, use_bias=False, name="to_k")()
+        wv, _ = _DenseParams(c, inner, use_bias=False, name="to_v")()
+        wo, bo = _DenseParams(inner, self.query_dim, name="to_out")()
         k2 = v2 = None
         if self.relative_position:
             L = self.temporal_length
@@ -326,8 +346,26 @@ class TemporalSelfAttention(nn.Module):
                 _relative_position_table(self, "rel_k_table", L, d), t, t, L)
             v2 = _gather_relative(
                 _relative_position_table(self, "rel_v_table", L, d), t, t, L)
+
+        fuse = (
+            ln is not None and mask is None and k2 is None
+            and c == inner and self.query_dim == c
+            and os.environ.get("VIEWCRAFTER_ATTN_IMPL", "auto") != "xla"
+            and _on_tpu() and supports_fused_layer(x.shape, h, d)
+        )
+        if fuse:
+            wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+            return fused_temporal_layer(
+                x, ln[0], ln[1], wqkv, wo, bo, heads=h, dim_head=d)
+
+        if ln is not None:
+            x = _layer_norm_f32(x, ln[0], ln[1])
+        xc = x.astype(self.dtype)
+        q = (xc @ wq.astype(self.dtype)).reshape(b, t, s, h, d)
+        k = (xc @ wk.astype(self.dtype)).reshape(b, t, s, h, d)
+        v = (xc @ wv.astype(self.dtype)).reshape(b, t, s, h, d)
         o = _temporal_attention(q, k, v, mask, k2=k2, v2=v2).reshape(b, t, s, inner)
-        return Dense(self.query_dim, dtype=self.dtype, name="to_out")(o)
+        return o.astype(self.dtype) @ wo.astype(self.dtype) + bo.astype(self.dtype)
 
 
 class TemporalTransformerBlock(nn.Module):
@@ -343,6 +381,10 @@ class TemporalTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, cache=_NO_CACHE, site=""):
+        # the pre-attention LayerNorms are applied inside TemporalSelfAttention
+        # (fused into the Pallas layer kernel on TPU); _LNParams keeps the
+        # LayerNormF32 checkpoint layout
+        ln1 = _LNParams(self.dim, name="norm1")()
         attn1 = TemporalSelfAttention(
             heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
             relative_position=self.relative_position,
@@ -350,7 +392,8 @@ class TemporalTransformerBlock(nn.Module):
             dtype=self.dtype, name="attn1",
         )
         x = x + cache.site("temporal", site + "/attn1",
-                           lambda: attn1(LayerNormF32(name="norm1")(x), mask=mask))
+                           lambda: attn1(x, mask=mask, ln=ln1))
+        ln2 = _LNParams(self.dim, name="norm2")()
         attn2 = TemporalSelfAttention(
             heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
             relative_position=self.relative_position,
@@ -358,10 +401,10 @@ class TemporalTransformerBlock(nn.Module):
             dtype=self.dtype, name="attn2",
         )
         x = x + cache.site("temporal", site + "/attn2",
-                           lambda: attn2(LayerNormF32(name="norm2")(x), mask=mask))
+                           lambda: attn2(x, mask=mask, ln=ln2))
+        ln3 = _LNParams(self.dim, name="norm3")()
         ff = FeedForward(self.dim, dtype=self.dtype, name="ff")
-        x = x + cache.site("ff", site + "/ff",
-                           lambda: ff(LayerNormF32(name="norm3")(x)))
+        x = x + cache.site("ff", site + "/ff", lambda: ff(x, ln=ln3))
         return x
 
 
