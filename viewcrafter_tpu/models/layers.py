@@ -178,10 +178,14 @@ class FeedForward(nn.Module):
     norm is applied inside so that on TPU the whole branch (LayerNorm +
     GEGLU + out projection) runs as ONE Pallas kernel
     (ops/pallas/ff_layer.py) — the unfused chain materializes the
-    8x-activation-size GEGLU intermediate in HBM."""
+    8x-activation-size GEGLU intermediate in HBM.
+
+    `impl`: "xla" disables the fused kernel (programmatic twin of the
+    VIEWCRAFTER_ATTN_IMPL env var, which still takes precedence)."""
 
     dim: int
     mult: int = 4
+    impl: str = "auto"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -199,8 +203,9 @@ class FeedForward(nn.Module):
 
         fuse = (
             ln is not None
-            and os.environ.get("VIEWCRAFTER_ATTN_IMPL", "auto") != "xla"
-            and _on_tpu() and supports_fused_ff(x.shape, self.dim, inner)
+            and os.environ.get("VIEWCRAFTER_ATTN_IMPL", self.impl) != "xla"
+            and _on_tpu()
+            and supports_fused_ff(x.shape, self.dim, inner, itemsize=x.dtype.itemsize)
         )
         if fuse:
             return fused_ff_layer(x, ln[0], ln[1], w1, b1, w2, b2)

@@ -205,7 +205,7 @@ class TransformerBlock(nn.Module):
         x = x + cache.site(kind2, site + "/attn2",
                            lambda: attn2(LayerNormF32(name="norm2")(x), context=context, mask=mask))
         ln3 = _LNParams(self.dim, name="norm3")()
-        ff = FeedForward(self.dim, dtype=self.dtype, name="ff")
+        ff = FeedForward(self.dim, impl=self.self_attn_impl, dtype=self.dtype, name="ff")
         x = x + cache.site("ff", site + "/ff", lambda: ff(x, ln=ln3))
         return x
 
@@ -314,13 +314,18 @@ class TemporalSelfAttention(nn.Module):
     (attention.py:59-63,104-123; off in every shipped config): two
     (2*temporal_length+1, dim_head) tables shared across heads, one biasing
     the logits via q·k2, one the output via probs·v2. Forces the unfused
-    path."""
+    path.
+
+    attn_impl="xla" disables the fused kernel programmatically (the
+    VIEWCRAFTER_ATTN_IMPL env var still takes precedence), mirroring the
+    spatial CrossAttention gate."""
 
     heads: int
     dim_head: int
     query_dim: int
     relative_position: bool = False
     temporal_length: int = 0
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -350,8 +355,9 @@ class TemporalSelfAttention(nn.Module):
         fuse = (
             ln is not None and mask is None and k2 is None
             and c == inner and self.query_dim == c
-            and os.environ.get("VIEWCRAFTER_ATTN_IMPL", "auto") != "xla"
-            and _on_tpu() and supports_fused_layer(x.shape, h, d)
+            and os.environ.get("VIEWCRAFTER_ATTN_IMPL", self.attn_impl) != "xla"
+            and _on_tpu()
+            and supports_fused_layer(x.shape, h, d, itemsize=x.dtype.itemsize)
         )
         if fuse:
             wqkv = jnp.concatenate([wq, wk, wv], axis=1)
@@ -377,6 +383,7 @@ class TemporalTransformerBlock(nn.Module):
     dim_head: int
     relative_position: bool = False
     temporal_length: int = 0
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -389,7 +396,7 @@ class TemporalTransformerBlock(nn.Module):
             heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
             relative_position=self.relative_position,
             temporal_length=self.temporal_length,
-            dtype=self.dtype, name="attn1",
+            attn_impl=self.attn_impl, dtype=self.dtype, name="attn1",
         )
         x = x + cache.site("temporal", site + "/attn1",
                            lambda: attn1(x, mask=mask, ln=ln1))
@@ -398,12 +405,12 @@ class TemporalTransformerBlock(nn.Module):
             heads=self.heads, dim_head=self.dim_head, query_dim=self.dim,
             relative_position=self.relative_position,
             temporal_length=self.temporal_length,
-            dtype=self.dtype, name="attn2",
+            attn_impl=self.attn_impl, dtype=self.dtype, name="attn2",
         )
         x = x + cache.site("temporal", site + "/attn2",
                            lambda: attn2(x, mask=mask, ln=ln2))
         ln3 = _LNParams(self.dim, name="norm3")()
-        ff = FeedForward(self.dim, dtype=self.dtype, name="ff")
+        ff = FeedForward(self.dim, impl=self.attn_impl, dtype=self.dtype, name="ff")
         x = x + cache.site("ff", site + "/ff", lambda: ff(x, ln=ln3))
         return x
 
@@ -420,6 +427,7 @@ class TemporalTransformer(nn.Module):
     causal: bool = False
     relative_position: bool = False
     temporal_length: int = 0
+    attn_impl: str = "auto"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -439,6 +447,7 @@ class TemporalTransformer(nn.Module):
                 dim=inner, heads=self.heads, dim_head=self.dim_head,
                 relative_position=self.relative_position,
                 temporal_length=self.temporal_length,
+                attn_impl=self.attn_impl,
                 dtype=self.dtype, name=f"block_{i}",
             )(h, mask=mask, cache=cache, site=f"{site}/block_{i}")
         h = Dense(self.channels, dtype=self.dtype, zero_init=True, name="proj_out")(h)

@@ -66,13 +66,15 @@ def _kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     o_ref[...] = o
 
 
-def _pick_tile(n: int, c: int, inner: int, budget: int = 80 * 1024 * 1024) -> int:
-    w_bytes = (c * 2 * inner + inner * c) * 2
+def _pick_tile(n: int, c: int, inner: int, budget: int = 80 * 1024 * 1024,
+               itemsize: int = 2) -> int:
+    es = itemsize  # activation element size (bf16 2, f32 4)
+    w_bytes = (c * 2 * inner + inner * c) * es
     for tile in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if n % tile:
             continue
-        blocks = 2 * 2 * tile * c * 2                     # in+out, double-buffered
-        inter = tile * (c * 4 + 2 * inner * 2 * 2 + inner * 2)  # xn f32, y+gelu, g
+        blocks = 2 * 2 * tile * c * es                    # in+out, double-buffered
+        inter = tile * (c * 4 + 2 * inner * 2 * es + inner * es)  # xn f32, y+gelu, g
         if blocks + inter + w_bytes <= budget:
             return tile
     return 0
@@ -91,7 +93,7 @@ def fused_ff_layer(x, ln_scale, ln_bias, w1, b1, w2, b2, *,
     for dim in orig_shape[:-1]:
         n *= dim
     x2 = x.reshape(n, c)
-    tile = _pick_tile(n, c, inner)
+    tile = _pick_tile(n, c, inner, itemsize=x.dtype.itemsize)
     assert tile, f"N={n} has no supported tile"
     dt = x.dtype
     spec = pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -121,8 +123,8 @@ def fused_ff_layer(x, ln_scale, ln_bias, w1, b1, w2, b2, *,
     return out.reshape(orig_shape[:-1] + (c_out,))
 
 
-def supports_fused_ff(x_shape, c: int, inner: int) -> bool:
+def supports_fused_ff(x_shape, c: int, inner: int, itemsize: int = 2) -> bool:
     n = 1
     for dim in x_shape[:-1]:
         n *= dim
-    return x_shape[-1] == c and _pick_tile(n, c, inner) > 0
+    return x_shape[-1] == c and _pick_tile(n, c, inner, itemsize=itemsize) > 0

@@ -86,16 +86,18 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, wo_ref, bo_ref, o_ref,
     ) + bo_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _pick_block_q(s: int, c: int, budget: int = 96 * 1024 * 1024) -> int:
+def _pick_block_q(s: int, c: int, budget: int = 96 * 1024 * 1024,
+                  itemsize: int = 2) -> int:
     """Largest q block that divides S and keeps the footprint under budget:
     resident x row + QKV scratch + f32 logits/exp + out blocks + weights."""
-    w_bytes = (3 * c * c + c * c) * 2
-    resident = s * c * 2 * 2 + s * 3 * c * 2   # x row (double-buffered) + qkv
+    es = itemsize  # activation element size (bf16 2, f32 4)
+    w_bytes = (3 * c * c + c * c) * es
+    resident = s * c * es * 2 + s * 3 * c * es  # x row (double-buffered) + qkv
     for bq in (768, 576, 512, 384, 288, 256, 192, 128, 96, 64, 32, 16, 8):
         if s % bq:
             continue
         logits = bq * s * 4 * 2                # logits + exp f32
-        out = 2 * bq * c * 2 + bq * c * 4
+        out = 2 * bq * c * es + bq * c * 4
         if resident + logits + out + w_bytes <= budget:
             return bq
     return 0
@@ -112,7 +114,7 @@ def fused_spatial_layer(x, ln_scale, ln_bias, wqkv, wo, bo, *,
     wqkv (C, 3C) = concat(to_q, to_k, to_v kernels), wo (C, C), bo (C,)."""
     b, s, c = x.shape
     assert c == heads * dim_head
-    block_q = _pick_block_q(s, c)
+    block_q = _pick_block_q(s, c, itemsize=x.dtype.itemsize)
     assert block_q, f"S={s} has no supported q block"
     dt = x.dtype
     xspec = pl.BlockSpec((1, s, c), lambda bi, qi: (bi, 0, 0),
@@ -144,7 +146,7 @@ def fused_spatial_layer(x, ln_scale, ln_bias, wqkv, wo, bo, *,
 
 
 def supports_fused_spatial(x_shape, heads: int, dim_head: int,
-                           max_s: int = 9216) -> bool:
+                           max_s: int = 9216, itemsize: int = 2) -> bool:
     """Static qualification: (B, S, C) with C = heads*dim_head, S small
     enough that the QKV scratch + one f32 logits block fit in VMEM, and a
     lane-friendly head_dim."""
@@ -152,4 +154,4 @@ def supports_fused_spatial(x_shape, heads: int, dim_head: int,
         return False
     b, s, c = x_shape
     return (c == heads * dim_head and s <= max_s and dim_head in (64, 128)
-            and s % 8 == 0 and _pick_block_q(s, c) > 0)
+            and s % 8 == 0 and _pick_block_q(s, c, itemsize=itemsize) > 0)

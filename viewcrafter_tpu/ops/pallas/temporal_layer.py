@@ -103,17 +103,19 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, wo_ref, bo_ref, o_ref, *,
     o_ref[0] = o3[:t].astype(o_ref.dtype)
 
 
-def _pick_tile(s: int, t: int, c: int, budget: int = 80 * 1024 * 1024) -> int:
+def _pick_tile(s: int, t: int, c: int, budget: int = 80 * 1024 * 1024,
+               itemsize: int = 2) -> int:
     """Largest tile that divides S and keeps the block's VMEM footprint under
     budget: in/out blocks double-buffered + x2/y/att/o2 intermediates + f32
     logits + weights."""
+    es = itemsize  # activation element size (bf16 2, f32 4)
     t_pad = _pad_t(t)
-    w_bytes = (3 * c * c + c * c) * 2
+    w_bytes = (3 * c * c + c * c) * es
     for tile in (512, 384, 256, 192, 128, 96, 64, 48, 32, 16, 8):
         if s % tile:
             continue
-        blocks = 2 * 2 * (t * tile * c * 2)                 # in+out, double-buffered
-        inter = tile * t_pad * (c * 2 * 2 + 3 * c * 2 + c * 2 + c * 2)  # xn/xt f32-ish, y, att, o2
+        blocks = 2 * 2 * (t * tile * c * es)                # in+out, double-buffered
+        inter = tile * t_pad * (c * 2 * es + 3 * c * es + c * es + c * es)  # xn/xt, y, att, o2
         logits = tile * t_pad * t_pad * 4 * 2               # logits + probs f32
         if blocks + inter + logits + w_bytes <= budget:
             return tile
@@ -131,7 +133,7 @@ def fused_temporal_layer(x, ln_scale, ln_bias, wqkv, wo, bo, *,
     wqkv (C, 3C) = concat(to_q, to_k, to_v kernels), wo (C, C), bo (C,)."""
     b, t, s, c = x.shape
     assert c == heads * dim_head
-    tile = _pick_tile(s, t, c)
+    tile = _pick_tile(s, t, c, itemsize=x.dtype.itemsize)
     assert tile, f"S={s} has no supported tile"
     t_pad = _pad_t(t)
     dt = x.dtype
@@ -161,11 +163,11 @@ def fused_temporal_layer(x, ln_scale, ln_bias, wqkv, wo, bo, *,
 
 
 def supports_fused_layer(x_shape, heads: int, dim_head: int,
-                         max_t: int = 32) -> bool:
+                         max_t: int = 32, itemsize: int = 2) -> bool:
     """Static qualification: (B, T, S, C) with C = heads*dim_head, small T,
     a tile that divides S within the VMEM budget, lane-friendly head_dim."""
     if len(x_shape) != 4:
         return False
     b, t, s, c = x_shape
     return (c == heads * dim_head and t <= max_t and dim_head in (64, 128)
-            and _pick_tile(s, t, c) > 0)
+            and _pick_tile(s, t, c, itemsize=itemsize) > 0)
