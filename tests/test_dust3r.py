@@ -82,3 +82,47 @@ def test_dust3r_asymmetry():
     a = model.apply(params, img1, img2)
     b = model.apply(params, img2, img1)
     assert np.abs(np.asarray(a["pts3d1"]) - np.asarray(b["pts3d1"])).max() > 1e-6
+
+
+def test_encode_decode_pairs_matches_monolithic():
+    """The encode-once + decode_pairs split (symmetrized-pair encoder dedup,
+    reference model.py:117-125) must reproduce the monolithic __call__ on a
+    symmetric pair batch."""
+    model = Dust3rModel(cfg=TINY, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    h, w = 32, 48
+    imgs = jnp.asarray(rng.normal(size=(3, h, w, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), imgs[:1], imgs[1:2])
+
+    pairs = [(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)]
+    ii = jnp.asarray([i for i, _ in pairs], jnp.int32)
+    jj = jnp.asarray([j for _, j in pairs], jnp.int32)
+
+    ref = model.apply(params, imgs[np.asarray(ii)], imgs[np.asarray(jj)])
+    tokens, pos = model.apply(params, imgs, method=Dust3rModel.encode)
+    got = model.apply(params, tokens, pos, ii, jj, h, w,
+                      method=Dust3rModel.decode_pairs)
+    for key in ("pts3d1", "pts3d2_in_view1", "conf1", "conf2"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), rtol=2e-4, atol=2e-4)
+
+
+def test_encode_decode_pairs_portrait():
+    """Portrait (ManyAR) flag parity between the two paths."""
+    model = Dust3rModel(cfg=TINY, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    h, w = 32, 48  # stored landscape
+    imgs = jnp.asarray(rng.normal(size=(2, h, w, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), imgs[:1], imgs[1:2])
+    ii = jnp.asarray([0, 1], jnp.int32)
+    jj = jnp.asarray([1, 0], jnp.int32)
+    ref = model.apply(params, imgs[np.asarray(ii)], imgs[np.asarray(jj)],
+                      is_portrait1=True, is_portrait2=True)
+    tokens, pos = model.apply(params, imgs, is_portrait=True,
+                              method=Dust3rModel.encode)
+    got = model.apply(params, tokens, pos, ii, jj, h, w,
+                      is_portrait1=True, is_portrait2=True,
+                      method=Dust3rModel.decode_pairs)
+    for key in ("pts3d1", "pts3d2_in_view1", "conf1", "conf2"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), rtol=2e-4, atol=2e-4)

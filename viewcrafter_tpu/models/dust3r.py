@@ -400,3 +400,33 @@ class Dust3rModel(nn.Module):
             "pts3d1": pts1, "conf1": conf1,
             "pts3d2_in_view1": pts2, "conf2": conf2,
         }
+
+    def encode(self, imgs, is_portrait=None):
+        """Encode N UNIQUE images once (symmetrized-pair encoder dedup,
+        reference model.py:117-125 + utils/misc.py:32-52: a symmetric pair
+        batch encodes each image a single time and reuses the embedding for
+        both directions). Returns (tokens (N,S,C), pos (N,S,2))."""
+        return self.encoder(imgs, is_portrait=is_portrait)
+
+    def decode_pairs(self, tokens, pos, idx1, idx2, h: int, w: int,
+                     is_portrait1=None, is_portrait2=None):
+        """Decoder + heads over pairs of PRE-ENCODED images.
+
+        tokens/pos: `encode` outputs for the scene's unique images (stay on
+        device between the two calls). idx1/idx2: (P,) int32 image indices of
+        each directed pair. h, w: static stored-landscape pixel dims. Output
+        dict matches __call__. Per-pair cost drops by the full ViT-L encoder
+        (~2x the geometry stage; n^2-compounding in iterative modes)."""
+        f1 = jnp.take(tokens, idx1, axis=0)
+        f2 = jnp.take(tokens, idx2, axis=0)
+        pos1 = jnp.take(pos, idx1, axis=0)
+        pos2 = jnp.take(pos, idx2, axis=0)
+        outs1, outs2 = self.decoder(f1, pos1, f2, pos2)
+        raw1 = self._head_raw(self.head1, self._hooked(f1, outs1), h, w, is_portrait1)
+        raw2 = self._head_raw(self.head2, self._hooked(f2, outs2), h, w, is_portrait2)
+        pts1, conf1 = _postprocess(raw1)
+        pts2, conf2 = _postprocess(raw2)
+        return {
+            "pts3d1": pts1, "conf1": conf1,
+            "pts3d2_in_view1": pts2, "conf2": conf2,
+        }

@@ -23,6 +23,7 @@ TPU-first division of labor:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -138,6 +139,17 @@ class ViewCrafterPipeline:
         self.lvdm_params: Optional[LVDMParams] = None
         self.loaded_real_ckpt = False  # True -> tokenizer fallback is an error
         self._dust3r_apply = jax.jit(self.dust3r.apply, static_argnames=("is_portrait1", "is_portrait2"))
+        # encode-once + decode-per-pair split (reference model.py:117-125
+        # symmetrized dedup): unique images go through the ViT-L encoder a
+        # single time; pairs gather embeddings on device
+        self._dust3r_encode = jax.jit(
+            functools.partial(self.dust3r.apply, method=Dust3rModel.encode),
+            static_argnames=("is_portrait",),
+        )
+        self._dust3r_decode = jax.jit(
+            functools.partial(self.dust3r.apply, method=Dust3rModel.decode_pairs),
+            static_argnames=("h", "w", "is_portrait1", "is_portrait2"),
+        )
         if init_models:
             self.setup_models()
         # state per run
@@ -231,6 +243,26 @@ class ViewCrafterPipeline:
         if portrait:
             imgs = imgs.transpose(0, 2, 1, 3)
 
+        # encode each UNIQUE image once (reference symmetrized dedup,
+        # model.py:117-125): the complete symmetric graph has n*(n-1) directed
+        # pairs but only n distinct images — running the ViT-L encoder per
+        # pair direction costs 2(n-1)x the encoder FLOPs of encoding once.
+        # Encode in padded chunks of 8 so iterative modes (growing n) reuse
+        # compiled programs; embeddings stay on device for the pair gathers.
+        h_img, w_img = imgs.shape[1:3]
+        enc_chunk = min(8, n)
+        tok_parts, pos_parts = [], []
+        for s in range(0, n, enc_chunk):
+            idx = list(range(s, min(s + enc_chunk, n)))
+            idx = idx + [idx[-1]] * (enc_chunk - len(idx))
+            tok, pos = self._dust3r_encode(
+                self.dust3r_params, jnp.asarray(imgs[idx]), is_portrait=portrait
+            )
+            tok_parts.append(tok)
+            pos_parts.append(pos)
+        tokens = jnp.concatenate(tok_parts)[:n]
+        pos = jnp.concatenate(pos_parts)[:n]
+
         chunk = max(1, self.opts.batch_size)
         pred_i, pred_j, conf_i, conf_j = [], [], [], []
         for s in range(0, len(pairs), chunk):
@@ -238,9 +270,10 @@ class ViewCrafterPipeline:
             pad = chunk - len(batch)
             ii = [i for i, _ in batch] + [batch[-1][0]] * pad
             jj = [j for _, j in batch] + [batch[-1][1]] * pad
-            out = self._dust3r_apply(
-                self.dust3r_params, jnp.asarray(imgs[ii]), jnp.asarray(imgs[jj]),
-                is_portrait1=portrait, is_portrait2=portrait,
+            out = self._dust3r_decode(
+                self.dust3r_params, tokens, pos,
+                jnp.asarray(ii, jnp.int32), jnp.asarray(jj, jnp.int32),
+                h=h_img, w=w_img, is_portrait1=portrait, is_portrait2=portrait,
             )
             take = len(batch)
             pred_i.append(np.asarray(out["pts3d1"])[:take])
@@ -392,7 +425,7 @@ class ViewCrafterPipeline:
             attn_reuse_dtype=opts.attn_reuse_dtype,
         )
         n = max(1, opts.n_samples)
-        mesh = self._sample_mesh(n)
+        mesh = self._sample_mesh(n, guidance.num_branches)
         if mesh is not None:
             # one sharded batch: independent DDIM chains ride the dp axis
             self.rng, sub = jax.random.split(self.rng)
@@ -419,13 +452,19 @@ class ViewCrafterPipeline:
             )
         return results[0]  # (T, H, W, 3) [-1,1]
 
-    def _sample_mesh(self, n_samples: int):
-        """A dp-only mesh for multi-sample generation when the host has the
-        devices for it (opts.mesh_devices > 1); None -> serial loop."""
+    def _sample_mesh(self, n_samples: int, num_branches: int = 2):
+        """A dp-only mesh when the host has the devices for it
+        (opts.mesh_devices > 1); None -> serial loop. Two sharding regimes
+        (models/lvdm.py staged_programs): n_samples % dp == 0 shards whole
+        samples over dp; a SINGLE sample shards its K CFG guidance branches
+        over dp instead (the roofline's two-chip <=60 s path — the reference
+        runs the branches sequentially on one GPU, ddim.py:222-228)."""
         opts = self.opts
-        if opts.mesh_devices <= 1 or n_samples < 2:
+        if opts.mesh_devices <= 1 or len(jax.devices()) < opts.mesh_devices:
             return None
-        if n_samples % opts.mesh_devices or len(jax.devices()) < opts.mesh_devices:
+        sample_dp = n_samples >= 2 and n_samples % opts.mesh_devices == 0
+        cfg_dp = (n_samples * num_branches) % opts.mesh_devices == 0
+        if not (sample_dp or cfg_dp):
             return None
         from viewcrafter_tpu.parallel.mesh import make_mesh
 
