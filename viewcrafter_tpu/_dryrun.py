@@ -126,6 +126,21 @@ def inference_dryrun(mesh) -> None:
         err_msg="sharded generation diverges from single-device",
     )
 
+    # CFG-branch dp for a SINGLE sample (VERDICT r4 #3, roofline <=60 s
+    # path): b=1 cannot shard over dp, so the K=2 tiled guidance branches
+    # shard instead (models/lvdm.py _denoise_fn branch_mesh). Must be
+    # bit-compatible with the single-device chain.
+    video1 = engine.generate_staged(
+        params, frames[:1], ids[:1], ids[:1], rng, mesh=mesh, **kwargs
+    )
+    video1 = jax.block_until_ready(video1)
+    assert bool(jnp.all(jnp.isfinite(video1))), "non-finite CFG-dp generation"
+    ref1 = engine.generate_staged(params, frames[:1], ids[:1], ids[:1], rng, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(video1), np.asarray(ref1), atol=2e-5,
+        err_msg="CFG-dp sharded generation diverges from single-device",
+    )
+
 
 def flagship_compile_dryrun(mesh, name: str = "") -> str:
     """AOT-compile the REAL flagship training-step program over the dp x sp
@@ -212,7 +227,8 @@ def main(n_devices: int) -> None:
     loss = train_dryrun(mesh)
     print(f"train step ok: dp={dp} sp={sp}, loss={loss:.4f}", flush=True)
     inference_dryrun(mesh)
-    print(f"sharded inference ok: dp={dp} sp={sp} (matches single-device)", flush=True)
+    print(f"sharded inference ok: dp={dp} sp={sp} (sample-dp AND single-sample "
+          "CFG-dp match single-device)", flush=True)
     print(flagship_compile_dryrun(mesh), flush=True)
 
 

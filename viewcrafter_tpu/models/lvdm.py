@@ -50,6 +50,43 @@ class LVDMParams:
     resampler: Any
 
 
+def fast_materialize(init_fn, rng: jax.Array, dtype=jnp.bfloat16):
+    """Benchmark/dev-only parameter materialization for any flax-style init.
+
+    `init_fn(rng)` under flax traces a full forward pass, and jitting it
+    compiles that pass — minutes of XLA compile at flagship scale on a 1-core
+    host. This takes the pytree SHAPES from `jax.eval_shape` (abstract, no
+    compile) and fills every float32 leaf with a 0.02-scaled normal draw
+    directly in `dtype` via one small fused program. FLOP/bandwidth-identical
+    to trained weights for timing purposes and numerically finite, but NOT
+    distribution-faithful per layer (no fan-in scaling; zero-init layers are
+    nonzero): use for benchmarks only, never for training or goldens."""
+    import math
+
+    shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    sizes = [math.prod(leaf.shape) for leaf in leaves]
+    total = sum(sizes)
+
+    def build(rng):
+        # ONE flat draw + static slices: a per-leaf fold_in/normal graph is
+        # ~800 independent threefry subgraphs and takes minutes of XLA
+        # compile on a 1-core host (measured round 5); this compiles in
+        # seconds. Peak HBM = flat + leaves = 2x weights.
+        flat = 0.02 * jax.random.normal(rng, (total,), dtype)
+        outs, off = [], 0
+        for leaf, sz in zip(leaves, sizes):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                d = dtype if leaf.dtype == jnp.float32 else leaf.dtype
+                outs.append(flat[off:off + sz].reshape(leaf.shape).astype(d))
+            else:
+                outs.append(jnp.zeros(leaf.shape, leaf.dtype))
+            off += sz
+        return jax.tree_util.tree_unflatten(treedef, outs)
+
+    return jax.jit(build)(rng)
+
+
 def cast_params_bf16(tree):
     """Cast float32 leaves to bfloat16 (inference weight storage).
 
@@ -111,6 +148,13 @@ class VideoDiffusionEngine:
             keys[4], jnp.zeros((1, 257, cfg.resampler.embedding_dim))
         )
         return LVDMParams(unet, vae, clip_text, clip_vision, resampler)
+
+    def fast_init_params(self, rng: jax.Array, dtype=jnp.bfloat16) -> LVDMParams:
+        """Benchmark/dev-only parameter materialization (see
+        `fast_materialize`): same pytree shapes as `init_params` without its
+        forward-trace compile (~3 min at flagship scale on a 1-core host;
+        measured round 5). Timing-faithful, NOT distribution-faithful."""
+        return fast_materialize(self.init_params, rng, dtype=dtype)
 
     # ------------------------------------------------------------------
     # jitted building blocks
@@ -240,7 +284,8 @@ class VideoDiffusionEngine:
 
     def _denoise_fn(self, params, z_cond, contexts, fs_val, guidance: GuidanceConfig,
                     cache_kinds=("spatial", "cross", "temporal"),
-                    cache_sites: tuple = (), cache_dtype: str = "bf16"):
+                    cache_sites: tuple = (), cache_dtype: str = "bf16",
+                    branch_mesh=None):
         """Returns (denoise, denoise_full, denoise_reuse):
           denoise(x_k, t) -> v                          (baseline)
           denoise_full(x_k, t) -> (v, attention cache)   (PAB collect)
@@ -254,6 +299,17 @@ class VideoDiffusionEngine:
         attention FLOPs. Sites absent from the cache dict are recomputed
         (AttnCacheCtx.site falls through on a read miss), and XLA DCEs
         their collection outputs, so filtering the dict is sufficient.
+
+        branch_mesh: optional ("dp", "sp") mesh — CFG-branch data
+        parallelism for a SINGLE sample (the roofline's two-chip <=60 s
+        path; the reference evaluates the branches sequentially on one GPU,
+        ddim.py:222-228). The (K*B)-leading UNet batch gets a
+        with_sharding_constraint over ("dp", "sp"), so the K tiled guidance
+        branches spread across dp chips and XLA inserts the collective only
+        at the CFG combine. Disables the shared-prefix dedup (each chip
+        computes its own branch's prefix — redundant FLOPs but fully
+        parallel, and the dedup's small-batch slice would serialize onto
+        one chip).
         """
         k = guidance.num_branches
         b = z_cond.shape[0]
@@ -294,26 +350,42 @@ class VideoDiffusionEngine:
                                  "cache_dtype": store_dtype})
             denoise_reuse = make({"cache_kinds": cache_kinds}, with_cache_arg=True)
         else:
+            if branch_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                _vid_s = NamedSharding(branch_mesh, P("dp", "sp"))
+                _tok_s = NamedSharding(branch_mesh, P("dp"))
+
+                def con_vid(a):
+                    return jax.lax.with_sharding_constraint(a, _vid_s)
+
+                def con_tok(a):
+                    return jax.lax.with_sharding_constraint(a, _tok_s)
+            else:
+                con_vid = con_tok = lambda a: a
+            prefix_k = 1 if branch_mesh is not None else k
+
             def denoise(x_k, t_batch):
-                x_in = jnp.concatenate([x_k, z_cond_k], axis=-1)
+                x_in = con_vid(jnp.concatenate([x_k, z_cond_k], axis=-1))
                 # shared_prefix=k: the sampler tiles one latent over the K CFG
                 # branches, so the UNet computes the context-free prefix once
                 return self.unet.apply(
-                    params.unet, x_in, t_batch, ctx_flat, fs=fs_batch, shared_prefix=k
+                    params.unet, x_in, t_batch, con_tok(ctx_flat), fs=fs_batch,
+                    shared_prefix=prefix_k,
                 )
 
             def denoise_full(x_k, t_batch):
-                x_in = jnp.concatenate([x_k, z_cond_k], axis=-1)
+                x_in = con_vid(jnp.concatenate([x_k, z_cond_k], axis=-1))
                 return self.unet.apply(
-                    params.unet, x_in, t_batch, ctx_flat, fs=fs_batch,
+                    params.unet, x_in, t_batch, con_tok(ctx_flat), fs=fs_batch,
                     collect_cache=True, cache_kinds=cache_kinds,
                     cache_dtype=store_dtype,
                 )
 
             def denoise_reuse(x_k, t_batch, cache):
-                x_in = jnp.concatenate([x_k, z_cond_k], axis=-1)
+                x_in = con_vid(jnp.concatenate([x_k, z_cond_k], axis=-1))
                 return self.unet.apply(
-                    params.unet, x_in, t_batch, ctx_flat, fs=fs_batch,
+                    params.unet, x_in, t_batch, con_tok(ctx_flat), fs=fs_batch,
                     attn_cache=cache, cache_kinds=cache_kinds,
                 )
 
@@ -364,29 +436,82 @@ class VideoDiffusionEngine:
         TPU-native scale-out path: independent DDIM chains per dp slice,
         temporal-stage collectives over sp ride ICI. Requires B % dp == 0
         and T % sp == 0."""
-        from viewcrafter_tpu.sampling.ddim import ddim_sample_window, ddim_sample_window_pab
-
-        cfg = self.cfg
         b, t = guidance_frames.shape[:2]
-        dd = DDIMSchedule.create(self.schedule, steps, eta=eta, timestep_spacing=timestep_spacing)
-        fs_val = float(fs if fs is not None else cfg.unet.default_fs)
-
         if mesh is not None:
             dp, sp = mesh.shape["dp"], mesh.shape["sp"]
-            if b % dp or t % sp:
+            k = guidance.num_branches
+            if t % sp or (b % dp and (k * b) % dp):
                 raise ValueError(
-                    f"sharded generate needs batch {b} % dp {dp} == 0 and "
-                    f"frames {t} % sp {sp} == 0"
+                    f"sharded generate needs frames {t} % sp {sp} == 0 and "
+                    f"either batch {b} % dp {dp} == 0 (sample-dp) or "
+                    f"branches*batch {k * b} % dp == 0 (CFG-dp)"
                 )
         if attn_reuse_interval > 1:
             chunk = attn_reuse_interval
-        key = ("staged", steps, eta, guidance, fs_val, timestep_spacing, cond_idx, chunk,
+        progs = self.staged_programs(
+            tuple(guidance_frames.shape), steps=steps, eta=eta, guidance=guidance,
+            fs=fs, timestep_spacing=timestep_spacing, cond_idx=cond_idx,
+            attn_reuse_interval=attn_reuse_interval,
+            attn_reuse_kinds=attn_reuse_kinds, attn_reuse_sites=attn_reuse_sites,
+            attn_reuse_dtype=attn_reuse_dtype, mesh=mesh,
+        )
+
+        prepare_fn, window_fn, decode_fn = progs
+        x, z_cond, contexts, rng_sample = prepare_fn(
+            params, guidance_frames, token_ids, uncond_token_ids, rng
+        )
+        s0 = 0
+        while s0 < steps:
+            num = min(chunk, steps - s0)
+            x = window_fn(params, x, z_cond, contexts, rng_sample, jnp.asarray(s0), num)
+            # block per window so one device call never exceeds the window
+            x = jax.block_until_ready(x)
+            s0 += num
+        return decode_fn(params, x)
+
+    def staged_programs(
+        self,
+        frames_shape: tuple,
+        steps: int = 50,
+        eta: float = 1.0,
+        guidance: GuidanceConfig = GuidanceConfig(),
+        fs: Optional[int] = None,
+        timestep_spacing: str = "uniform_trailing",
+        cond_idx: int = 0,
+        attn_reuse_interval: int = 1,
+        attn_reuse_kinds: tuple = ("spatial", "cross", "temporal"),
+        attn_reuse_sites: tuple = (),
+        attn_reuse_dtype: str = "bf16",
+        mesh=None,
+    ):
+        """Build (or fetch cached) the three jitted device programs behind
+        `generate_staged`: prepare / sampling window / decode. Exposed so
+        callers that need per-stage control (bench.py stage heartbeats and
+        timing; the CFG-dp sharded path) drive the stages directly.
+
+        prepare(params, frames, ids, uids, rng) -> (x_T, z_cond, contexts, rng)
+        window(params, x, z_cond, contexts, rng, start, num) -> x  (num static)
+        decode(params, x) -> video in [-1, 1]
+        """
+        from viewcrafter_tpu.sampling.ddim import ddim_sample_window, ddim_sample_window_pab
+
+        cfg = self.cfg
+        b, t = frames_shape[:2]
+        dd = DDIMSchedule.create(self.schedule, steps, eta=eta, timestep_spacing=timestep_spacing)
+        fs_val = float(fs if fs is not None else cfg.unet.default_fs)
+        key = ("staged", steps, eta, guidance, fs_val, timestep_spacing, cond_idx,
                attn_reuse_interval, attn_reuse_kinds, attn_reuse_sites,
-               attn_reuse_dtype, tuple(guidance_frames.shape), mesh)
+               attn_reuse_dtype, tuple(frames_shape), mesh)
         if not hasattr(self, "_staged_cache"):
             self._staged_cache = {}
         progs = self._staged_cache.get(key)
         if progs is None:
+            # CFG-branch dp: a batch that cannot shard over dp (e.g. ONE
+            # sample on a 2-chip mesh) spreads the K tiled guidance branches
+            # over dp instead (see _denoise_fn branch_mesh)
+            cfg_dp = mesh is not None and b % mesh.shape["dp"] != 0
+            branch_mesh = mesh if cfg_dp else None
+
             def prepare(params, frames, ids, uids, rng):
                 rng_z, rng_noise, rng_sample = jax.random.split(rng, 3)
                 z_cond = self.encode_frames(params.vae, frames, rng_z)
@@ -399,7 +524,7 @@ class VideoDiffusionEngine:
                 denoise_fn, d_full, d_reuse = self._denoise_fn(
                     params, z_cond, contexts, fs_val, guidance,
                     cache_kinds=attn_reuse_kinds, cache_sites=attn_reuse_sites,
-                    cache_dtype=attn_reuse_dtype,
+                    cache_dtype=attn_reuse_dtype, branch_mesh=branch_mesh,
                 )
                 if attn_reuse_interval > 1:
                     return ddim_sample_window_pab(
@@ -420,9 +545,17 @@ class VideoDiffusionEngine:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 repl = NamedSharding(mesh, P())
-                vid = NamedSharding(mesh, P("dp", "sp"))  # (B, T, ...) arrays
-                ctxs = NamedSharding(mesh, P(None, "dp"))  # (K, B, L, C)
-                ids_s = NamedSharding(mesh, P("dp"))  # (B, 77)
+                if cfg_dp:
+                    # single-sample CFG-dp: batch axes replicate over dp,
+                    # frames shard over sp; the context's leading K axis
+                    # (guidance branches) shards over dp
+                    vid = NamedSharding(mesh, P(None, "sp"))
+                    ctxs = NamedSharding(mesh, P("dp"))  # (K, B, L, C)
+                    ids_s = repl
+                else:
+                    vid = NamedSharding(mesh, P("dp", "sp"))  # (B, T, ...) arrays
+                    ctxs = NamedSharding(mesh, P(None, "dp"))  # (K, B, L, C)
+                    ids_s = NamedSharding(mesh, P("dp"))  # (B, 77)
                 progs = (
                     jax.jit(
                         prepare,
@@ -438,19 +571,7 @@ class VideoDiffusionEngine:
                     jax.jit(decode, in_shardings=(repl, vid), out_shardings=vid),
                 )
             self._staged_cache[key] = progs
-
-        prepare_fn, window_fn, decode_fn = progs
-        x, z_cond, contexts, rng_sample = prepare_fn(
-            params, guidance_frames, token_ids, uncond_token_ids, rng
-        )
-        s0 = 0
-        while s0 < steps:
-            num = min(chunk, steps - s0)
-            x = window_fn(params, x, z_cond, contexts, rng_sample, jnp.asarray(s0), num)
-            # block per window so one device call never exceeds the window
-            x = jax.block_until_ready(x)
-            s0 += num
-        return decode_fn(params, x)
+        return progs
 
     # host-side convenience -------------------------------------------------
 
