@@ -27,6 +27,32 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: full-scale parity tests (minutes each); always run in CI"
     )
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast compile-light tier (<2 min cold on the 1-core box): "
+        "run with `pytest -m smoke` for a quick regression signal",
+    )
+
+
+# Modules whose tests are host-math or tiny-compile only; auto-marked `smoke`.
+# Keep this list to modules that stay under ~2 min COLD in total.
+_SMOKE_MODULES = {
+    "test_schedule",       # schedule arrays bit-match: pure numpy
+    "test_geometry",       # trajectory/transforms: tiny jit programs
+    "test_io",             # image/video/PLY round-trips: host-side
+    "test_tokenizer_golden",
+    "test_metrics",        # PSNR/SSIM (LPIPS path is tiny)
+    "test_cli_launchers",  # flag parsing + script flag parity
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SMOKE_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)
 
 
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -32,14 +32,24 @@ class _Button(_Component):
         _Button.clicks.append((fn, inputs, outputs))
 
 
+class _Examples(_Component):
+    seen = []
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        _Examples.seen.append(k.get("examples"))
+
+
 def _install_fake_gradio(monkeypatch):
     gr = types.ModuleType("gradio")
     for name in ("Blocks", "Markdown", "Row", "Column", "Image", "Slider",
-                 "Number", "Video"):
+                 "Number", "Video", "Text"):
         setattr(gr, name, _Component)
     gr.Button = _Button
+    gr.Examples = _Examples
     monkeypatch.setitem(sys.modules, "gradio", gr)
     _Button.clicks = []
+    _Examples.seen = []
 
 
 def test_app_builds_and_generates(monkeypatch, tmp_path):
@@ -77,9 +87,16 @@ def test_app_builds_and_generates(monkeypatch, tmp_path):
     run_fn, inputs, outputs = _Button.clicks[0]
     assert len(inputs) == 8 and len(outputs) == 2
 
+    # examples gallery mirrors reference gradio_app.py:8-14 (bundled images)
+    assert _Examples.seen and len(_Examples.seen[0]) == 5
+    assert all(os.path.exists(e[0]) for e in _Examples.seen[0])
+
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
     img[30:60, 40:90] = [200, 50, 50]
-    render_path, diffusion_path = run_fn(img, 5.0, 1.0, 10.0, 4.0, -0.1, 2, 123)
-    assert os.path.exists(render_path), render_path
+    # free-form 3-waypoint sequences, like the reference's text inputs
+    traj_path, diffusion_path = run_fn(
+        img, 5.0, 1.0, "0 5 10", "0 -2 4", "0 -0.05 -0.1", 2, 123)
+    assert os.path.basename(traj_path).startswith("viz_traj")
+    assert os.path.exists(traj_path), traj_path
     assert os.path.exists(diffusion_path), diffusion_path

@@ -37,6 +37,22 @@ def test_fullkv_matches_xla_bf16():
     )
 
 
+def test_fullkv_chunked_matches_single_pass():
+    """The online-softmax chunked kernel (_kernel_chunked) is the same math
+    as the single-pass kernel: identical outputs up to fp32 rounding."""
+    rng = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (2, 512, 3, 64), jnp.float32)
+    k = jax.random.normal(kk, (2, 512, 3, 64), jnp.float32)
+    v = jax.random.normal(kv, (2, 512, 3, 64), jnp.float32)
+    ref = fullkv_attention(q, k, v, block_q=128, n_chunks=1, interpret=True)
+    xla = xla_attention(q, k, v)
+    for nc in (2, 4, 8):
+        out = fullkv_attention(q, k, v, block_q=128, n_chunks=nc, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(xla), atol=1e-2)
+
+
 def test_fullkv_cross_length():
     """Sq != Sk (the kernel holds the full Sk-length K/V resident)."""
     rng = jax.random.PRNGKey(2)

@@ -15,7 +15,10 @@ from viewcrafter_tpu.training import create_train_state, make_train_step
 
 def test_mesh_shapes():
     mesh = make_mesh(8)
-    assert mesh.shape["dp"] * mesh.shape["sp"] == 8
+    assert mesh.shape["dp"] * mesh.shape["sp"] * mesh.shape["tp"] == 8
+    assert mesh.shape["tp"] == 1  # default mesh is the historical dp x sp
+    tp_mesh = make_mesh(8, dp=2, tp=2)
+    assert (tp_mesh.shape["dp"], tp_mesh.shape["sp"], tp_mesh.shape["tp"]) == (2, 2, 2)
 
 
 def test_dryrun_multichip_entrypoint():

@@ -141,6 +141,25 @@ def inference_dryrun(mesh) -> None:
         err_msg="CFG-dp sharded generation diverges from single-device",
     )
 
+    # tensor parallelism (SURVEY §2.6 "TP options for UNet attention/convs"):
+    # a dp x sp x tp mesh shards attention heads / conv channels over tp
+    # (parallel/tp.py constraints engage via _denoise_fn tp_mesh) on top of
+    # the CFG-branch dp and frame sp; must match single-device bitwise-close.
+    devs = mesh.devices.flatten()
+    if devs.size >= 8:
+        from viewcrafter_tpu.parallel.mesh import make_mesh
+
+        tp_mesh = make_mesh(8, dp=2, tp=2, devices=list(devs))
+        video_tp = engine.generate_staged(
+            params, frames[:1], ids[:1], ids[:1], rng, mesh=tp_mesh, **kwargs
+        )
+        video_tp = jax.block_until_ready(video_tp)
+        assert bool(jnp.all(jnp.isfinite(video_tp))), "non-finite TP generation"
+        np.testing.assert_allclose(
+            np.asarray(video_tp), np.asarray(ref1), atol=2e-5,
+            err_msg="dp x sp x tp sharded generation diverges from single-device",
+        )
+
 
 def flagship_compile_dryrun(mesh, name: str = "") -> str:
     """AOT-compile the REAL flagship training-step program over the dp x sp
@@ -227,8 +246,9 @@ def main(n_devices: int) -> None:
     loss = train_dryrun(mesh)
     print(f"train step ok: dp={dp} sp={sp}, loss={loss:.4f}", flush=True)
     inference_dryrun(mesh)
-    print(f"sharded inference ok: dp={dp} sp={sp} (sample-dp AND single-sample "
-          "CFG-dp match single-device)", flush=True)
+    print(f"sharded inference ok: dp={dp} sp={sp} (sample-dp, single-sample "
+          "CFG-dp, and dp x sp x tp head/channel TP all match single-device)",
+          flush=True)
     print(flagship_compile_dryrun(mesh), flush=True)
 
 

@@ -94,6 +94,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help="inference weight storage dtype")
     p.add_argument("--mesh_devices", type=int, default=0,
                    help=">1: shard n_samples over a dp device mesh")
+    p.add_argument("--mesh_tp", type=int, default=1,
+                   help=">1: tensor-parallel UNet heads/channels over that "
+                        "many of --mesh_devices (parallel/tp.py)")
     # dust3r
     p.add_argument("--model_path", type=str,
                    default="./checkpoints/DUSt3R_ViTLarge_BaseDecoder_512_dpt.pth")
@@ -161,6 +164,7 @@ def opts_from_args(args) -> "InferenceOptions":
         attn_reuse_dtype=args.attn_reuse_dtype,
         weights_dtype=args.weights_dtype,
         mesh_devices=args.mesh_devices,
+        mesh_tp=args.mesh_tp,
         model_path=args.model_path,
         batch_size=args.batch_size,
         niter=args.niter,

@@ -201,10 +201,13 @@ class FeedForward(nn.Module):
         w1, b1 = _GEGLUParams(self.dim, inner, name="geglu")()
         w2, b2 = DenseParams(inner, self.dim, name="out")()
 
+        from viewcrafter_tpu.parallel import tp as _tp
+
         fuse = (
             ln is not None
             and os.environ.get("VIEWCRAFTER_ATTN_IMPL", self.impl) != "xla"
             and _on_tpu()
+            and _tp.active_mesh() is None  # pallas is opaque to the partitioner
             and supports_fused_ff(x.shape, self.dim, inner, itemsize=x.dtype.itemsize)
         )
         if fuse:
@@ -218,6 +221,13 @@ class FeedForward(nn.Module):
         # torch.nn.functional.gelu default (attention.py:415-422)
         h, gate = jnp.split(y, 2, axis=-1)
         g = h * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(h.dtype)
+        # tensor parallelism: gated hidden over "tp" (the out projection
+        # contracts it -> one psum); constrained AFTER the GEGLU split so the
+        # h|gate halves shard independently. No-op without an active tp mesh.
+        if g.ndim == 3:  # spatial layout (B*T, S, hidden)
+            g = _tp.constrain(g, ("dp", "sp"), None, "tp")
+        elif g.ndim == 4:  # temporal layout (B, T, S, hidden)
+            g = _tp.constrain(g, "dp", None, "sp", "tp")
         return g @ w2.astype(self.dtype) + b2.astype(self.dtype)
 
 

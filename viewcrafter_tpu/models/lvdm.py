@@ -285,7 +285,7 @@ class VideoDiffusionEngine:
     def _denoise_fn(self, params, z_cond, contexts, fs_val, guidance: GuidanceConfig,
                     cache_kinds=("spatial", "cross", "temporal"),
                     cache_sites: tuple = (), cache_dtype: str = "bf16",
-                    branch_mesh=None):
+                    branch_mesh=None, tp_mesh=None):
         """Returns (denoise, denoise_full, denoise_reuse):
           denoise(x_k, t) -> v                          (baseline)
           denoise_full(x_k, t) -> (v, attention cache)   (PAB collect)
@@ -396,6 +396,22 @@ class VideoDiffusionEngine:
             def denoise_full(x_k, t_batch):
                 v, cache = inner_full(x_k, t_batch)
                 return v, {n: a for n, a in cache.items() if n.startswith(prefixes)}
+
+        if tp_mesh is not None:
+            # tensor parallelism over UNet heads/channels (parallel/tp.py):
+            # mark the mesh tp-active while the UNet traces so the in-model
+            # sharding constraints engage; a tp=1 mesh deactivates inside
+            from viewcrafter_tpu.parallel import tp as _tp
+
+            def _with_tp(fn):
+                def wrapped(*a, **kw):
+                    with _tp.activate(tp_mesh):
+                        return fn(*a, **kw)
+                return wrapped
+
+            denoise = _with_tp(denoise)
+            denoise_full = _with_tp(denoise_full)
+            denoise_reuse = _with_tp(denoise_reuse)
 
         return denoise, denoise_full, denoise_reuse
 
@@ -525,6 +541,7 @@ class VideoDiffusionEngine:
                     params, z_cond, contexts, fs_val, guidance,
                     cache_kinds=attn_reuse_kinds, cache_sites=attn_reuse_sites,
                     cache_dtype=attn_reuse_dtype, branch_mesh=branch_mesh,
+                    tp_mesh=mesh,
                 )
                 if attn_reuse_interval > 1:
                     return ddim_sample_window_pab(

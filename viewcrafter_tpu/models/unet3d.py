@@ -42,6 +42,7 @@ from viewcrafter_tpu.models.layers import (
 )
 from viewcrafter_tpu.ops.attention import attention
 from viewcrafter_tpu.ops.schedule import timestep_embedding
+from viewcrafter_tpu.parallel import tp as _tp
 
 Dtype = Any
 
@@ -77,10 +78,19 @@ class CrossAttention(nn.Module):
         k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
         qh = q.reshape(b, n, h, d)
+        # tensor parallelism: heads over "tp" (no-op without an active tp
+        # mesh); the leading (B*T) axis keeps its dp x sp batch sharding
+        qh = _tp.constrain(qh, ("dp", "sp"), None, "tp", None)
+        k = _tp.constrain(k.reshape(b, -1, h, d), ("dp", "sp"), None, "tp", None)
+        v = _tp.constrain(v.reshape(b, -1, h, d), ("dp", "sp"), None, "tp", None)
 
         if ctx_img is not None:
             k_ip = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(ctx_img)
             v_ip = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(ctx_img)
+            k_ip = _tp.constrain(
+                k_ip.reshape(b, -1, h, d), ("dp", "sp"), None, "tp", None)
+            v_ip = _tp.constrain(
+                v_ip.reshape(b, -1, h, d), ("dp", "sp"), None, "tp", None)
             if self._use_dual_kernel(b, n, ctx.shape[1], ctx_img.shape[1], mask):
                 # fused text+image dual-stream kernel: both attention calls in
                 # ONE pallas pass (ops/pallas/cross_attention.py); identical
@@ -119,6 +129,7 @@ class CrossAttention(nn.Module):
             mask is None
             and impl != "xla"
             and _on_tpu()
+            and _tp.active_mesh() is None  # pallas is opaque to the partitioner
             and supports_dual((b, n, self.heads, self.dim_head), lt, li)
         )
 
@@ -264,7 +275,8 @@ def _temporal_attention(q, k, v, mask=None, k2=None, v2=None):
         supports_fused, temporal_attention_fused,
     )
 
-    if mask is None and k2 is None and v2 is None and _on_tpu() and supports_fused(q.shape):
+    if (mask is None and k2 is None and v2 is None and _on_tpu()
+            and _tp.active_mesh() is None and supports_fused(q.shape)):
         return temporal_attention_fused(q, k, v)
     d = q.shape[-1]
     logits = jnp.einsum("bqshd,bkshd->bshqk", q, k, preferred_element_type=jnp.float32)
@@ -357,6 +369,7 @@ class TemporalSelfAttention(nn.Module):
             and c == inner and self.query_dim == c
             and os.environ.get("VIEWCRAFTER_ATTN_IMPL", self.attn_impl) != "xla"
             and _on_tpu()
+            and _tp.active_mesh() is None  # pallas is opaque to the partitioner
             and supports_fused_layer(x.shape, h, d, itemsize=x.dtype.itemsize)
         )
         if fuse:
@@ -370,6 +383,13 @@ class TemporalSelfAttention(nn.Module):
         q = (xc @ wq.astype(self.dtype)).reshape(b, t, s, h, d)
         k = (xc @ wk.astype(self.dtype)).reshape(b, t, s, h, d)
         v = (xc @ wv.astype(self.dtype)).reshape(b, t, s, h, d)
+        # tensor parallelism: heads over "tp", and the frame axis (the
+        # attention axis here) reshards to the pixel axis over "sp" — the
+        # explicit T->S reshard is the temporal-stage collective the sp
+        # design pays anyway (no-op without an active tp mesh)
+        q = _tp.constrain(q, "dp", None, "sp", "tp", None)
+        k = _tp.constrain(k, "dp", None, "sp", "tp", None)
+        v = _tp.constrain(v, "dp", None, "sp", "tp", None)
         o = _temporal_attention(q, k, v, mask, k2=k2, v2=v2).reshape(b, t, s, inner)
         return o.astype(self.dtype) @ wo.astype(self.dtype) + bo.astype(self.dtype)
 
@@ -481,7 +501,8 @@ class TemporalConv3(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         xf = x.astype(self.dtype).reshape(b, t, hh * ww, c)
         w = kernel[:, 0, 0]
-        if _on_tpu() and supports_fused(xf.shape, c, self.features):
+        if (_on_tpu() and _tp.active_mesh() is None
+                and supports_fused(xf.shape, c, self.features)):
             y = temporal_conv3(xf, w.astype(self.dtype), bias)
         else:
             xp = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)))
@@ -525,10 +546,15 @@ class ResBlock(nn.Module):
         # x: (BT, H, W, C); emb: (BT, D)
         h = GroupNorm32(32, with_silu=True, name="in_norm")(x)
         h = Conv(self.out_channels, (3, 3), dtype=self.dtype, name="in_conv")(h)
+        # tensor parallelism: conv output channels over "tp" (the 32-group
+        # GroupNorm reduces within channel groups, so a tp that divides the
+        # group count stays collective-free); no-op without an active tp mesh
+        h = _tp.constrain(h, ("dp", "sp"), None, None, "tp")
         emb_out = Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(silu(emb))
         h = h + emb_out[:, None, None, :].astype(h.dtype)
         h = GroupNorm32(32, with_silu=True, name="out_norm")(h)
         h = Conv(self.out_channels, (3, 3), dtype=self.dtype, zero_init=True, name="out_conv")(h)
+        h = _tp.constrain(h, ("dp", "sp"), None, None, "tp")
         if x.shape[-1] != self.out_channels:
             x = Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
         h = x + h

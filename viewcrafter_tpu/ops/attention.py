@@ -135,6 +135,12 @@ def attention(
     import os
 
     impl = os.environ.get("VIEWCRAFTER_ATTN_IMPL", impl)
+    from viewcrafter_tpu.parallel import tp as _tp
+
+    if _tp.active_mesh() is not None:
+        # tensor-parallel tracing: pallas kernels are opaque to the SPMD
+        # partitioner (they would run replicated); the einsum path shards
+        impl = "xla"
     if impl == "xla":
         return xla_attention(q, k, v, mask)
     if impl == "flash":

@@ -50,12 +50,62 @@ def _kernel(q_ref, k_ref, v_ref, o_ref):
     o_ref[0, 0] = (out / s).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
-def _fullkv_call(q, k, v, block_q: int, interpret: bool = False):
+def _kernel_chunked(q_ref, k_ref, v_ref, o_ref, *, n_chunks: int):
+    """Online-softmax over n_chunks statically-unrolled KV chunks (K/V still
+    fully VMEM-resident — no DMA machinery). The single-pass kernel runs one
+    giant MXU matmul, then a serialized VPU softmax sweep over the whole
+    (sb, S) tile, then the PV matmul: MXU and VPU strictly alternate. Chunking
+    gives the Mosaic scheduler independent work to interleave — chunk i+1's
+    QK^T (MXU) issues while chunk i's exp2/rowsum (VPU) drains — and shrinks
+    the fp32 logits footprint from (sb, S) to (sb, S/n_chunks), so larger q
+    blocks fit VMEM. The m/l/acc running corrections touch only (sb, 1) and
+    (sb, D) tiles: VPU-negligible. Exact same math as _kernel (the final
+    rescale telescopes identically; base-2 exponentials, scale pre-folded
+    into q)."""
+    q = q_ref[0, 0]                       # (sb, D)
+    k = k_ref[0, 0]                       # (S, D)
+    v = v_ref[0, 0]
+    s_total = k.shape[0]
+    c = s_total // n_chunks
+    sb = q.shape[0]
+
+    m = jnp.full((sb, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((sb, 1), jnp.float32)
+    acc = jnp.zeros((sb, q.shape[1]), jnp.float32)
+    for i in range(n_chunks):
+        logits = lax.dot_general(
+            q, k[i * c:(i + 1) * c], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                  # (sb, c), base-2
+        m_c = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_c)
+        alpha = jnp.exp2(m - m_new)
+        e = jnp.exp2(logits - m_new)
+        l = l * alpha + jnp.sum(e, axis=-1, keepdims=True)
+        acc = acc * alpha + lax.dot_general(
+            e.astype(v.dtype), v[i * c:(i + 1) * c], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = m_new
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "n_chunks", "interpret"))
+def _fullkv_call(q, k, v, block_q: int, n_chunks: int = 1, interpret: bool = False):
     b, h, s, d = q.shape
     sk = k.shape[2]
+    if n_chunks > 1:
+        kern = functools.partial(_kernel_chunked, n_chunks=n_chunks)
+        # per-chunk fp32 logits+exp only; + running m/l/acc + resident K/V
+        vmem = int(2 * block_q * (sk // n_chunks) * 4 + 4 * sk * d + (16 << 20))
+    else:
+        kern = _kernel
+        # logits + exp tiles (2 fp32 temporaries) + resident K/V + margin;
+        # v5e has 128 MiB VMEM so large q-blocks are legal — the default
+        # Mosaic cap would reject block_q >= 256 at S=9216
+        vmem = int(2 * block_q * sk * 4 + 4 * sk * d + (8 << 20))
     out = pl.pallas_call(
-        _kernel,
+        kern,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=(b, h, s // block_q),
         in_specs=[
@@ -70,14 +120,18 @@ def _fullkv_call(q, k, v, block_q: int, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            # logits + exp tiles (2 fp32 temporaries) + resident K/V + margin;
-            # v5e has 128 MiB VMEM so large q-blocks are legal — the default
-            # Mosaic cap would reject block_q >= 256 at S=9216
-            vmem_limit_bytes=int(2 * block_q * sk * 4 + 4 * sk * d + (8 << 20)),
+            vmem_limit_bytes=vmem,
         ),
         interpret=interpret,
     )(q, k, v)
     return out
+
+
+def _pick_layout(s: int, sk: int) -> tuple:
+    """(block_q, n_chunks) default per shape. Placeholder until the chunked
+    kernel is measured on hardware (scripts/profile_fullkv_v2.py): single-pass
+    everywhere."""
+    return _pick_block_q(s, sk), 1
 
 
 def _pick_block_q(s: int, sk: int) -> int:
@@ -103,11 +157,16 @@ def _pick_block_q(s: int, sk: int) -> int:
     return 0
 
 
-def fullkv_attention(q, k, v, block_q: int | None = None, interpret: bool = False):
+def fullkv_attention(q, k, v, block_q: int | None = None,
+                     n_chunks: int | None = None, interpret: bool = False):
     """q/k/v: (B, S, H, D) — same layout as ops.attention.attention.
 
     Plain (non-causal, unmasked) softmax attention with the whole K/V
     resident in VMEM. Caller must check supports_fullkv() first.
+
+    n_chunks > 1 switches to the online-softmax chunked kernel (exact same
+    math; MXU/VPU interleaving — see _kernel_chunked). Default: measured-best
+    per shape (_pick_layout).
     """
     b, s, h, d = q.shape
     sk = k.shape[1]
@@ -120,8 +179,12 @@ def fullkv_attention(q, k, v, block_q: int | None = None, interpret: bool = Fals
     qt = (qt.astype(jnp.float32) * scale).astype(qt.dtype)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
-    bq = block_q or _pick_block_q(s, sk)
-    out = _fullkv_call(qt, kt, vt, bq, interpret=interpret)
+    if block_q is None and n_chunks is None:
+        bq, nc = _pick_layout(s, sk)
+    else:
+        bq = block_q or _pick_block_q(s, sk)
+        nc = n_chunks or 1
+    out = _fullkv_call(qt, kt, vt, bq, n_chunks=nc, interpret=interpret)
     return jnp.swapaxes(out, 1, 2)
 
 

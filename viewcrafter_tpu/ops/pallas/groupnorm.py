@@ -129,7 +129,10 @@ def group_norm_silu(x, scale, bias, num_groups=32, eps=1e-5, with_silu=True, int
     s = 1
     for d in orig_shape[1:-1]:
         s *= d
-    if _on_tpu() and not interpret and c % 128 == 0 and _pick_tile(s, c) is not None:
+    from viewcrafter_tpu.parallel import tp as _tp
+
+    if (_on_tpu() and not interpret and _tp.active_mesh() is None
+            and c % 128 == 0 and _pick_tile(s, c) is not None):
         y = group_norm_fused(x.reshape(n, s, c), scale, bias, num_groups, eps, with_silu)
         return y.reshape(orig_shape)
     # XLA fallback. Stats always accumulate in fp32; the elementwise

@@ -25,22 +25,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None, devices=None) -> Mesh:
-    """Create a ("dp", "sp") mesh over the first n devices. Falls back to the
-    virtual CPU devices when the default platform has too few (the multichip
-    dry-run path)."""
+def make_mesh(
+    n_devices: Optional[int] = None,
+    dp: Optional[int] = None,
+    tp: int = 1,
+    devices=None,
+) -> Mesh:
+    """Create a ("dp", "sp", "tp") mesh over the first n devices. Falls back
+    to the virtual CPU devices when the default platform has too few (the
+    multichip dry-run path). tp > 1 enables tensor parallelism over UNet
+    attention heads / conv channels (parallel/tp.py); the default tp=1 mesh
+    behaves exactly like the historical ("dp", "sp") mesh."""
     if devices is None:
         devices = jax.devices()
         if n_devices and len(devices) < n_devices:
             devices = jax.local_devices(backend="cpu")
     n = n_devices or len(devices)
     devices = devices[:n]
+    assert n % tp == 0, f"cannot factor {n} devices with tp={tp}"
+    n_ds = n // tp
     if dp is None:
-        dp = 2 if n % 2 == 0 and n > 1 else 1
-    sp = n // dp
-    assert dp * sp == n, f"cannot factor {n} devices into dp={dp} x sp={sp}"
-    arr = np.asarray(devices).reshape(dp, sp)
-    return Mesh(arr, axis_names=("dp", "sp"))
+        dp = 2 if n_ds % 2 == 0 and n_ds > 1 else 1
+    sp = n_ds // dp
+    assert dp * sp * tp == n, (
+        f"cannot factor {n} devices into dp={dp} x sp={sp} x tp={tp}"
+    )
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, axis_names=("dp", "sp", "tp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

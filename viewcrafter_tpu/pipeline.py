@@ -100,6 +100,7 @@ class InferenceOptions:
     attn_reuse_kinds: tuple = ("spatial", "cross", "temporal")  # which families to cache; +"ff" for coarser reuse
     attn_reuse_dtype: str = "bf16"  # cache storage: "bf16" | "f8" (halves cache HBM)
     mesh_devices: int = 0  # >1: shard n_samples over a dp mesh (multi-chip)
+    mesh_tp: int = 1  # >1: tensor-parallel UNet heads/channels (parallel/tp.py)
     # dust3r
     model_path: Optional[str] = None
     batch_size: int = 8  # pair-chunk size for batched dust3r inference
@@ -462,13 +463,17 @@ class ViewCrafterPipeline:
         opts = self.opts
         if opts.mesh_devices <= 1 or len(jax.devices()) < opts.mesh_devices:
             return None
-        sample_dp = n_samples >= 2 and n_samples % opts.mesh_devices == 0
-        cfg_dp = (n_samples * num_branches) % opts.mesh_devices == 0
-        if not (sample_dp or cfg_dp):
+        tp = max(1, opts.mesh_tp)
+        dp = opts.mesh_devices // tp
+        if dp * tp != opts.mesh_devices:
+            return None
+        sample_dp = n_samples >= 2 and n_samples % dp == 0
+        cfg_dp = (n_samples * num_branches) % dp == 0
+        if not (sample_dp or cfg_dp or dp == 1):
             return None
         from viewcrafter_tpu.parallel.mesh import make_mesh
 
-        return make_mesh(opts.mesh_devices, dp=opts.mesh_devices)
+        return make_mesh(opts.mesh_devices, dp=dp, tp=tp)
 
     # ------------------------------------------------------------------
     # shared mode plumbing
