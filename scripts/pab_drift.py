@@ -86,7 +86,7 @@ def measure_drift(model_name="viewcrafter_25_512", steps=50,
 
 if __name__ == "__main__":
     jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tpu"))
+                      os.environ.get("JAX_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_tpu")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     model = sys.argv[1] if len(sys.argv) > 1 else "viewcrafter_25_512"
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
