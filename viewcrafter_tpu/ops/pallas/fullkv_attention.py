@@ -96,8 +96,11 @@ def _fullkv_call(q, k, v, block_q: int, n_chunks: int = 1, interpret: bool = Fal
     sk = k.shape[2]
     if n_chunks > 1:
         kern = functools.partial(_kernel_chunked, n_chunks=n_chunks)
-        # per-chunk fp32 logits+exp only; + running m/l/acc + resident K/V
-        vmem = int(2 * block_q * (sk // n_chunks) * 4 + 4 * sk * d + (16 << 20))
+        # TWO per-chunk fp32 logits+exp sets live at once (the unrolled loop
+        # pipelines chunk i+1's QK^T against chunk i's VPU drain — measured
+        # 34.4 MB at bq=768 nc=8 vs the 25.4 MB single-set estimate)
+        # + running m/l/acc + resident K/V
+        vmem = int(4 * block_q * (sk // n_chunks) * 4 + 4 * sk * d + (16 << 20))
     else:
         kern = _kernel
         # logits + exp tiles (2 fp32 temporaries) + resident K/V + margin;
@@ -128,9 +131,25 @@ def _fullkv_call(q, k, v, block_q: int, n_chunks: int = 1, interpret: bool = Fal
 
 
 def _pick_layout(s: int, sk: int) -> tuple:
-    """(block_q, n_chunks) default per shape. Placeholder until the chunked
-    kernel is measured on hardware (scripts/profile_fullkv_v2.py): single-pass
-    everywhere."""
+    """(block_q, n_chunks) measured-best per shape on v5e
+    (scripts/profile_fullkv_v2.py, r5):
+
+      ds1 S=9216: (512, 4) 68.4 ms vs (384, 1) 79.5 — chunking lets Mosaic
+        interleave chunk i+1's QK^T (MXU) with chunk i's exp2/rowsum (VPU);
+        bq in {384..768} x nc in {4, 8} all land within 2% (plateau).
+      ds2 S=2304: (2304, 2) 14.4 ms vs (384, 1) 16.1 — whole q in one block,
+        two KV chunks.
+      ds4 S=576: single-pass 6.9 ms; chunking only adds overhead (12 TF/s —
+        tile too small to hide the VPU behind the MXU).
+
+    Unmeasured shapes fall back to single-pass with the conservative block."""
+    if sk >= 4096:
+        bq = 512 if s % 512 == 0 else _pick_block_q(s, sk)
+        return bq, 4
+    if 1024 <= sk < 4096:
+        if s == sk:  # self-attention: whole q resident, 2 chunks
+            return s, 2
+        return _pick_block_q(s, sk), 2
     return _pick_block_q(s, sk), 1
 
 
