@@ -116,7 +116,20 @@ def bench_engine(model_name, steps, reps, pab, pab_kinds, pab_sites, pab_dtype,
     # single device executions beyond ~1 minute (x stays on device throughout)
     chunk = int(os.environ.get("VIEWCRAFTER_BENCH_CHUNK", "10"))
     if pab > 1:
-        chunk = pab
+        # The flagship PAB window peaks at ~10.7 GiB and the chip holds ONE
+        # such loaded executable's arena comfortably but not two (measured
+        # r5: a second big window executable — a different static num —
+        # OOMs at its first execution even though re-running the first one
+        # is fine). So: many PAB cells per device call inside one executable
+        # (sampling/ddim.py ddim_sample_window_pab_cells), and pick chunk so
+        # the WHOLE chain uses a single window executable — two equal halves
+        # when that stays under the ~1 min serving watchdog (25 steps ~ 39 s
+        # at flagship). steps=50, pab=3 -> chunk 25 = 8 cells + 1-step tail
+        # folded into the same program; full evals at steps {0,3,...,24} and
+        # {25,28,...,49}: 18 vs the canonical cadence's 17 — one step MORE
+        # exact than labeled.
+        half = -(-steps // 2)
+        chunk = half if half <= 26 else pab * max(1, 24 // pab)
 
     prepare_fn, window_fn, decode_fn = eng.staged_programs(
         tuple(frames.shape), steps=steps, guidance=guidance,
@@ -128,6 +141,10 @@ def bench_engine(model_name, steps, reps, pab, pab_kinds, pab_sites, pab_dtype,
         """One full generation through the staged programs; returns video."""
         x, z_cond, contexts, rng_sample = prepare_fn(
             params, frames, ids, uids, jax.random.PRNGKey(seed))
+        if sync_each_window:
+            # don't let prepare's VAE/CLIP temps overlap the first window's
+            # 10.7 GiB execution (the PAB chain OOMs without this, r5)
+            _sync(x, z_cond, contexts)
         s0 = 0
         while s0 < steps:
             num = min(chunk, steps - s0)
@@ -135,6 +152,7 @@ def bench_engine(model_name, steps, reps, pab, pab_kinds, pab_sites, pab_dtype,
                           jnp.asarray(s0), num)
             if sync_each_window:
                 _sync(x)
+                _hb(f"  window {s0}+{num} done")
             s0 += num
         return decode_fn(params, x)
 
@@ -151,6 +169,18 @@ def bench_engine(model_name, steps, reps, pab, pab_kinds, pab_sites, pab_dtype,
     xw = window_fn(params, x, z_cond, contexts, rng_sample, jnp.asarray(0), chunk)
     _sync(xw)
     _hb(f"window compiled+ran in {time.time() - t0:.0f}s")
+
+    rem = steps % chunk
+    if rem:
+        # the chain's final window is a DIFFERENT executable (static num);
+        # compile+run it here so the measured chain never compiles mid-flight
+        _hb(f"compiling tail window ({rem} steps)")
+        t0 = time.time()
+        xt = window_fn(params, xw, z_cond, contexts, rng_sample,
+                       jnp.asarray(steps - rem), rem)
+        _sync(xt)
+        del xt
+        _hb(f"tail window compiled+ran in {time.time() - t0:.0f}s")
 
     _hb("compiling decode (per-frame VAE)")
     t0 = time.time()
@@ -181,6 +211,12 @@ def bench_engine(model_name, steps, reps, pab, pab_kinds, pab_sites, pab_dtype,
     headline["note"] = "extrapolated from warm per-stage timings"
     _emit(headline)
 
+    # free the cold+warm stage outputs before the measured chain: ~1 GB of
+    # stale device buffers whose python refs would otherwise stay live, and
+    # the PAB window program peaks at 10.7 of the chip's ~13 usable GiB
+    # (measured r5: the chain OOMed with these alive, runs without)
+    del x, z_cond, contexts, rng_sample, xw, video, x2, z2, c2, r2, xw2, v2
+
     # ---- full measured run(s) replace the extrapolation --------------------
     times = []
     for i in range(reps):
@@ -189,8 +225,19 @@ def bench_engine(model_name, steps, reps, pab, pab_kinds, pab_sites, pab_dtype,
                 f"({_remaining():.0f}s left); keeping extrapolated")
             break
         t0 = time.time()
-        out = run_chain(seed=2 + i)
-        _sync(out)
+        # PAB windows peak at ~10.7 GiB each (f8 cache): without a sync the
+        # async tunnel keeps several window executions in flight and their
+        # buffers coexist -> OOM on the measured run even though each window
+        # ran fine during warm-up (observed r5). Exact windows (7.4 GiB) keep
+        # the unsynced pipeline; per-window sync costs ~30 ms of tunnel RTT.
+        try:
+            out = run_chain(seed=2 + i, sync_each_window=pab > 1)
+            _sync(out)
+        except Exception as e:  # HBM OOM / transient worker restart:
+            # keep the extrapolated headline rather than dying lineless
+            _hb(f"measured rep {i} failed ({type(e).__name__}); "
+                "keeping extrapolated")
+            break
         times.append(time.time() - t0)
         _hb(f"measured rep {i}: {times[-1]:.1f}s")
     if times:
@@ -315,10 +362,16 @@ def _stage_main(stage: str):
         h = bench_engine(model_name, steps, 1, 3, pab_kinds, pab_sites,
                          pab_dtype, baseline)
         h = dict(h)
-        seq = os.environ.get("VIEWCRAFTER_BENCH_SEQ_CFG", "0") == "1"
+        tags = []
+        if pab_dtype != "bf16":
+            tags.append(f"{pab_dtype} cache")
+        if tuple(pab_sites) != ("down_0", "up_0", "init_attn"):
+            tags.append("sites " + "+".join(pab_sites))
+        if os.environ.get("VIEWCRAFTER_BENCH_SEQ_CFG", "0") == "1":
+            tags.append("sequential CFG")
         h["metric"] = (
             "sec/video PAB-3 attention-reuse"
-            + (", sequential CFG" if seq else "")
+            + ("".join(", " + t for t in tags))
             + " (approximate sampling; secondary)"
         )
         _emit(h)
@@ -396,18 +449,19 @@ def main():
         and os.environ.get("VIEWCRAFTER_BENCH_SECONDARY", "1") == "1"
         and _remaining() > 500
     ):
-        _hb("secondary: PAB-3 (fresh process; compiles the PAB window program)")
-        got = _run_stage("pab3", _remaining() - 120)
+        # The bf16 full-site PAB-3 window needs 13.2 GiB (AOT memory_analysis,
+        # r5) and OOMs the chip even in a fresh process — the 17 cached ds1
+        # site outputs are 5.8 GiB next to 2.7 GiB of weights. f8 cache
+        # storage keeps the SAME reuse topology at 10.7 GiB total (fits;
+        # labeled on the line). Fallback: exact-bf16 cache on the smaller
+        # down_0+init_attn site set (10.3 GiB).
+        _hb("secondary: PAB-3, f8 cache (fresh process)")
+        got = _run_stage("pab3", _remaining() - 120,
+                         {"VIEWCRAFTER_BENCH_PAB_DTYPE": "f8"})
         if got is None and _remaining() > 500:
-            # the batched-CFG PAB window carries ~6.5 GB of site caches
-            # (K*B=2 leading dim) next to 2.9 GB of weights and OOMs the
-            # 16 GB chip on some allocation orders (measured r5). Sequential
-            # CFG halves the peak ACTIVATIONS (cache total is unchanged —
-            # both branches' caches stay live across the reuse steps), which
-            # is enough headroom; the child labels the line accordingly.
-            _hb("PAB-3 failed (likely HBM OOM); retrying with sequential CFG")
+            _hb("PAB-3 f8 failed; retrying bf16 cache on down_0+init_attn sites")
             _run_stage("pab3", _remaining() - 120,
-                       {"VIEWCRAFTER_BENCH_SEQ_CFG": "1"})
+                       {"VIEWCRAFTER_BENCH_PAB_SITES": "down_0,init_attn"})
 
     if os.environ.get("VIEWCRAFTER_BENCH_E2E", "1") == "1" and _remaining() > 700:
         _hb("secondary: e2e single-view pipeline (fresh process)")

@@ -36,11 +36,11 @@ SITES_ALL = ()  # empty = every attention site caches
 
 
 def _generate(eng, params, frames, ids, uids, seed, steps, interval, sites,
-              kinds=("spatial", "temporal")):
+              kinds=("spatial", "temporal"), dtype="bf16"):
     video = eng.generate_staged(
         params, frames, ids, uids, jax.random.PRNGKey(seed), steps=steps,
         attn_reuse_interval=interval, attn_reuse_kinds=kinds,
-        attn_reuse_sites=sites,
+        attn_reuse_sites=sites, attn_reuse_dtype=dtype,
     )
     return np.asarray(jax.device_get(video))
 
@@ -68,10 +68,16 @@ def measure_drift(model_name="viewcrafter_25_512", steps=50,
     exact01 = np.clip((exact + 1.0) / 2.0, 0.0, 1.0)
 
     results = {}
-    for label, sites in site_sets.items():
+    # f8 variant on the DS1 set: the flagship bench ships PAB-3 with an f8
+    # cache (the bf16 full-site cache exceeds the 16 GB chip — bench.py r5),
+    # so its extra storage error must be on this table too.
+    variants = [(label, sites, "bf16") for label, sites in site_sets.items()]
+    variants.append(("ds1f8", SITES_DS1, "f8"))
+    for label, sites, dtype in variants:
         for k in ks:
             t0 = time.time()
-            out = _generate(eng, params, frames, ids, uids, seed, steps, k, sites)
+            out = _generate(eng, params, frames, ids, uids, seed, steps, k,
+                            sites, dtype=dtype)
             out01 = np.clip((out + 1.0) / 2.0, 0.0, 1.0)
             p = float(jnp.mean(psnr(jnp.asarray(out01), jnp.asarray(exact01))))
             s = float(jnp.mean(ssim(
@@ -79,7 +85,7 @@ def measure_drift(model_name="viewcrafter_25_512", steps=50,
                 jnp.asarray(exact01.reshape(-1, *exact01.shape[-3:])),
             )))
             results[(k, label)] = {"psnr": p, "ssim": s}
-            print(f"PAB-{k} sites={label:<4s} psnr={p:6.2f} dB  ssim={s:.4f}"
+            print(f"PAB-{k} sites={label:<5s} psnr={p:6.2f} dB  ssim={s:.4f}"
                   f"  ({time.time() - t0:.0f}s)", flush=True)
     return results
 

@@ -37,3 +37,32 @@ def test_staged_sequential_cfg_close_to_batched():
     b = eng.jitted_generate(params, frames, ids, uids, rng, steps=2,
                             guidance=GuidanceConfig(sequential=True))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pab_multicell_window_matches_per_cell():
+    """The multi-cell PAB window (lax.fori over cells INSIDE one executable —
+    built so the flagship's 10.7 GiB PAB temp arena is allocated once per
+    device call instead of once per cell; sampling/ddim.py
+    ddim_sample_window_pab_cells) must be bit-identical to driving one
+    window per cell."""
+    cfg = get_model_config("viewcrafter_tiny")
+    eng = VideoDiffusionEngine(cfg, dtype=jnp.float32)
+    params = jax.jit(eng.init_params)(jax.random.PRNGKey(0))
+    frames = jnp.zeros((1, cfg.video_length, cfg.height, cfg.width, 3))
+    ids = jnp.asarray(eng.prompt_ids("a scene", 1))
+    kw = dict(
+        attn_reuse_interval=3,
+        attn_reuse_kinds=("spatial", "temporal"),
+        attn_reuse_sites=("down_0", "init_attn"),
+    )
+    # generate_staged picks chunk=24 -> ONE window call: 2 cells + tail of 2
+    a = eng.generate_staged(params, frames, ids, ids, jax.random.PRNGKey(5),
+                            steps=8, **kw)
+    # reference: the same 8 steps as three per-cell window calls
+    prepare_fn, window_fn, decode_fn = eng.staged_programs(
+        tuple(frames.shape), steps=8, **kw)
+    x, z, c, r = prepare_fn(params, frames, ids, ids, jax.random.PRNGKey(5))
+    for s0, n in ((0, 3), (3, 3), (6, 2)):
+        x = window_fn(params, x, z, c, r, jnp.asarray(s0), n)
+    b = decode_fn(params, x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

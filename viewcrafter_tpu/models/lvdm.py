@@ -463,7 +463,10 @@ class VideoDiffusionEngine:
                     f"branches*batch {k * b} % dp == 0 (CFG-dp)"
                 )
         if attn_reuse_interval > 1:
-            chunk = attn_reuse_interval
+            # several PAB cells per device call (one temp arena — see
+            # ddim_sample_window_pab_cells), capped near 24 steps/call to
+            # stay under the serving watchdog's ~1 min execution limit
+            chunk = attn_reuse_interval * max(1, 24 // attn_reuse_interval)
         progs = self.staged_programs(
             tuple(guidance_frames.shape), steps=steps, eta=eta, guidance=guidance,
             fs=fs, timestep_spacing=timestep_spacing, cond_idx=cond_idx,
@@ -509,7 +512,11 @@ class VideoDiffusionEngine:
         window(params, x, z_cond, contexts, rng, start, num) -> x  (num static)
         decode(params, x) -> video in [-1, 1]
         """
-        from viewcrafter_tpu.sampling.ddim import ddim_sample_window, ddim_sample_window_pab
+        from viewcrafter_tpu.sampling.ddim import (
+            ddim_sample_window,
+            ddim_sample_window_pab,
+            ddim_sample_window_pab_cells,
+        )
 
         cfg = self.cfg
         b, t = frames_shape[:2]
@@ -544,9 +551,26 @@ class VideoDiffusionEngine:
                     tp_mesh=mesh,
                 )
                 if attn_reuse_interval > 1:
-                    return ddim_sample_window_pab(
-                        d_full, d_reuse, x, dd, rng_sample, start, num, guidance
-                    )
+                    # num may span several PAB cells: run them inside ONE
+                    # executable (single temp arena + cache allocation —
+                    # back-to-back per-cell device calls OOM the flagship
+                    # through the async tunnel; see
+                    # ddim_sample_window_pab_cells) with a per-call tail for
+                    # the remainder.
+                    k_int = attn_reuse_interval
+                    cells, rem = divmod(num, k_int)
+                    out = x
+                    if cells:
+                        out = ddim_sample_window_pab_cells(
+                            d_full, d_reuse, out, dd, rng_sample, start,
+                            cells, k_int, guidance
+                        )
+                    if rem:
+                        out = ddim_sample_window_pab(
+                            d_full, d_reuse, out, dd, rng_sample,
+                            start + cells * k_int, rem, guidance
+                        )
+                    return out
                 return ddim_sample_window(denoise_fn, x, dd, rng_sample, start, num, guidance)
 
             def decode(params, x):

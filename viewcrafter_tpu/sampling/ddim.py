@@ -194,3 +194,37 @@ def ddim_sample_window_pab(
         return helpers.update(i, xx, helpers.combine_cfg(v_all))
 
     return jax.lax.fori_loop(1, num_steps, body, x)
+
+
+def ddim_sample_window_pab_cells(
+    denoise_full,
+    denoise_reuse,
+    x: jnp.ndarray,
+    schedule: DDIMSchedule,
+    rng: jax.Array,
+    start: jnp.ndarray,
+    num_cells: int,  # static cell count
+    interval: int,  # static PAB interval (steps per cell)
+    guidance: GuidanceConfig = GuidanceConfig(),
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """`num_cells` consecutive PAB cells (full + interval-1 reuse steps each)
+    in ONE device program: bit-identical to calling ddim_sample_window_pab
+    once per cell, but the cell loop runs as a lax.fori INSIDE the executable,
+    so the attention cache and the UNet temp arena are allocated once and
+    reused across cells instead of once per device call. Built for the
+    flagship PAB window, whose per-call peak is ~10.7 GiB on a ~13 GiB-usable
+    chip: chaining such calls back-to-back through the async serving tunnel
+    OOMs on temp-arena overlap between in-flight executions (measured r5),
+    while one multi-cell call holds a single arena. Also amortizes tunnel
+    round-trips. Keep interval*num_cells*per-step-time under the serving
+    watchdog's ~1 min single-execution limit."""
+    return jax.lax.fori_loop(
+        0,
+        num_cells,
+        lambda j, xx: ddim_sample_window_pab(
+            denoise_full, denoise_reuse, xx, schedule, rng,
+            start + j * interval, interval, guidance, temperature,
+        ),
+        x.astype(jnp.float32),
+    )
