@@ -76,8 +76,14 @@ def measure_drift(model_name="viewcrafter_25_512", steps=50,
     for label, sites, dtype in variants:
         for k in ks:
             t0 = time.time()
-            out = _generate(eng, params, frames, ids, uids, seed, steps, k,
-                            sites, dtype=dtype)
+            try:
+                out = _generate(eng, params, frames, ids, uids, seed, steps, k,
+                                sites, dtype=dtype)
+            except Exception as e:  # transient tunnel/compile failures: the
+                # persistent cache makes a later retry cheap; keep the sweep
+                print(f"PAB-{k} sites={label}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+                continue
             out01 = np.clip((out + 1.0) / 2.0, 0.0, 1.0)
             p = float(jnp.mean(psnr(jnp.asarray(out01), jnp.asarray(exact01))))
             s = float(jnp.mean(ssim(

@@ -53,9 +53,18 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray
 
     mu_a, mu_b = filt(a), filt(b)
     mu_a2, mu_b2, mu_ab = mu_a**2, mu_b**2, mu_a * mu_b
-    sa = filt(a * a) - mu_a2
-    sb = filt(b * b) - mu_b2
-    sab = filt(a * b) - mu_ab
+    # (co)variances on globally re-centered inputs: Var(x) = E[(x-c)^2] -
+    # (E[x]-c)^2 for any constant c — with c ≈ the image mean the two terms
+    # are small instead of ~mu^2, avoiding the f32 cancellation that made
+    # smooth low-variance images read SSIM > 1 (E[x^2]-mu^2 with both ~0.25
+    # and sigma^2 ~ 1e-6 loses to c2 = 9e-4)
+    ca = jnp.mean(a, axis=(-3, -2, -1), keepdims=True).astype(jnp.float32)
+    cb = jnp.mean(b, axis=(-3, -2, -1), keepdims=True).astype(jnp.float32)
+    am, bm = a - ca, b - cb
+    da, db = mu_a - ca, mu_b - cb
+    sa = filt(am * am) - da**2
+    sb = filt(bm * bm) - db**2
+    sab = filt(am * bm) - da * db
     s = ((2 * mu_ab + c1) * (2 * sab + c2)) / ((mu_a2 + mu_b2 + c1) * (sa + sb + c2))
     return jnp.mean(s, axis=(-3, -2, -1))
 
